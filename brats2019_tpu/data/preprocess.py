@@ -1,0 +1,155 @@
+"""Preprocessing: per-modality z-score + brain-bbox crop (SURVEY.md C2, C3, N4).
+
+Two implementations of each op:
+
+* ``*_np`` — host NumPy, used once per case at ingest (data-dependent crop
+  shapes live on the host; SURVEY.md §7.3.2) and as the oracle in tests.
+* jnp versions — shape-static, jit-able, fused into the on-device
+  preprocessing graph (N4: replaces the reference's NumPy/CPU notebook
+  loaders, BASELINE.json:5). Nonzero (brain) statistics are computed with
+  masked reductions so the whole graph stays static-shaped.
+
+Convention: image is channels-last ``(X, Y, Z, C)``; background voxels are
+exactly zero in raw BraTS volumes (skull-stripped [B]) and stay exactly zero
+after normalization (C2 "background stays 0").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# z-score over nonzero voxels, per modality (C2)
+# ---------------------------------------------------------------------------
+
+def zscore_np(image: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Per-channel z-score over nonzero voxels; zeros stay zero."""
+    out = np.zeros_like(image, dtype=np.float32)
+    for c in range(image.shape[-1]):
+        vol = image[..., c]
+        mask = vol != 0
+        if mask.any():
+            vals = vol[mask].astype(np.float64)
+            mu = vals.mean()
+            sd = vals.std()
+            out[..., c][mask] = ((vol[mask] - mu) / (sd + eps)).astype(np.float32)
+    return out
+
+
+def zscore(image: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """jit-able per-channel z-score over nonzero voxels (masked reductions).
+
+    image: (..., C) — statistics reduce over all leading (spatial) axes.
+    """
+    axes = tuple(range(image.ndim - 1))
+    mask = image != 0
+    n = jnp.maximum(jnp.sum(mask, axis=axes, dtype=jnp.float32), 1.0)
+    s = jnp.sum(jnp.where(mask, image, 0.0), axis=axes, dtype=jnp.float32)
+    mu = s / n
+    sq = jnp.sum(jnp.where(mask, (image - mu) ** 2, 0.0), axis=axes, dtype=jnp.float32)
+    sd = jnp.sqrt(sq / n)
+    z = (image - mu) / (sd + eps)
+    return jnp.where(mask, z, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# brain bounding box + crop (C3)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BBox:
+    """Half-open 3D bounding box with the original volume shape for un-crop."""
+
+    lo: Tuple[int, int, int]
+    hi: Tuple[int, int, int]
+    full_shape: Tuple[int, int, int]
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return tuple(h - l for l, h in zip(self.lo, self.hi))
+
+
+def brain_bbox_np(image: np.ndarray, margin: int = 0) -> BBox:
+    """Nonzero bounding box over all channels (any-channel nonzero)."""
+    mask = np.any(image != 0, axis=-1) if image.ndim == 4 else image != 0
+    full = mask.shape
+    if not mask.any():
+        return BBox((0, 0, 0), full, full)
+    lo, hi = [], []
+    for ax in range(3):
+        other = tuple(a for a in range(3) if a != ax)
+        prof = mask.any(axis=other)
+        idx = np.where(prof)[0]
+        lo.append(max(0, int(idx[0]) - margin))
+        hi.append(min(full[ax], int(idx[-1]) + 1 + margin))
+    return BBox(tuple(lo), tuple(hi), full)
+
+
+def crop_np(vol: np.ndarray, bbox: BBox) -> np.ndarray:
+    sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
+    return vol[sl]
+
+
+def uncrop_np(vol: np.ndarray, bbox: BBox, fill=0) -> np.ndarray:
+    """Paste a cropped volume back into the full canvas (C16 un-crop)."""
+    out = np.full(bbox.full_shape + vol.shape[3:], fill, dtype=vol.dtype)
+    sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
+    out[sl] = vol
+    return out
+
+
+def pad_to_multiple_np(
+    vol: np.ndarray, multiple: Tuple[int, int, int], fill=0
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Pad spatial dims up to a multiple (for static tile grids); returns
+    (padded, original_shape)."""
+    orig = vol.shape[:3]
+    target = tuple(-(-s // m) * m for s, m in zip(orig, multiple))
+    pads = [(0, t - s) for s, t in zip(orig, target)]
+    pads += [(0, 0)] * (vol.ndim - 3)
+    return np.pad(vol, pads, constant_values=fill), orig
+
+
+# ---------------------------------------------------------------------------
+# on-device tumor/foreground bbox for the cascade handoff (C8)
+# ---------------------------------------------------------------------------
+
+def mask_bbox_center(mask: jnp.ndarray) -> jnp.ndarray:
+    """jit-able: center (x,y,z) int32 of the bounding box of a boolean mask.
+
+    Static-shaped: returns the volume center when the mask is empty. Used for
+    the coarse->fine crop handoff, where the fine stage takes a fixed-size ROI
+    around the tumor center (SURVEY.md §7.2 M3).
+    """
+    shape = mask.shape
+    centers = []
+    for ax in range(3):
+        other = tuple(a for a in range(3) if a != ax)
+        prof = jnp.any(mask, axis=other)
+        idx = jnp.arange(shape[ax], dtype=jnp.int32)
+        big = jnp.int32(shape[ax])
+        lo = jnp.min(jnp.where(prof, idx, big))
+        hi = jnp.max(jnp.where(prof, idx, jnp.int32(-1)))
+        empty = hi < lo
+        c = jnp.where(empty, jnp.int32(shape[ax] // 2), (lo + hi + 1) // 2)
+        centers.append(c)
+    return jnp.stack(centers)
+
+
+def centered_crop_start(
+    center: jnp.ndarray, roi: Tuple[int, int, int], full: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """Clamp a fixed-size ROI around ``center`` inside the volume; returns
+    start indices (int32) usable with ``lax.dynamic_slice``."""
+    starts = []
+    for ax in range(3):
+        s = center[ax] - roi[ax] // 2
+        s = jnp.clip(s, 0, max(full[ax] - roi[ax], 0))
+        starts.append(s.astype(jnp.int32))
+    return jnp.stack(starts)

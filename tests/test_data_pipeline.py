@@ -1,0 +1,100 @@
+"""Synthetic cases, case loading, sampling, augmentation (SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brats2019_tpu.data import augment, case, sampling, synthetic
+from brats2019_tpu.data.constants import disk_to_internal, internal_to_disk
+
+
+def test_label_remap_roundtrip():
+    internal = np.array([0, 1, 2, 3, 3, 0])
+    disk = internal_to_disk(internal)
+    np.testing.assert_array_equal(disk, [0, 1, 2, 4, 4, 0])
+    np.testing.assert_array_equal(disk_to_internal(disk), internal)
+
+
+def test_synthetic_case_write_and_load(tmp_path):
+    d = synthetic.write_case(str(tmp_path / "BraTS19_SYN_000_1"), shape=(48, 48, 32))
+    c = case.load_case(d)
+    assert c.image.shape == (48, 48, 32, 4)
+    assert c.seg is not None and c.seg.shape == (48, 48, 32)
+    assert set(np.unique(c.seg)) <= {0, 1, 2, 3}
+    assert (c.seg > 0).sum() > 0  # has a tumor
+    assert c.image.dtype == np.float32
+
+
+def test_discover_cases(tmp_path):
+    dirs = synthetic.write_dataset(str(tmp_path), 3, shape=(32, 32, 32))
+    found = case.discover_cases(str(tmp_path))
+    assert found == sorted(dirs)
+    # pointing directly at one case works too
+    assert case.discover_cases(dirs[0]) == [dirs[0]]
+
+
+def test_sample_patch_bounds_and_fg_bias():
+    img, seg = synthetic.make_case_arrays(seed=1, shape=(64, 64, 48))
+    fg = sampling.build_fg_table_np(seg)
+    key = jax.random.PRNGKey(0)
+    imgs, segs = sampling.sample_batch(
+        key, jnp.asarray(img), jnp.asarray(seg), (32, 32, 32), batch=8,
+        fg_table=jnp.asarray(fg), fg_prob=1.0,
+    )
+    assert imgs.shape == (8, 32, 32, 32, 4)
+    assert segs.shape == (8, 32, 32, 32)
+    # with fg_prob=1 every patch must contain tumor
+    assert all(np.asarray(segs[i]).sum() > 0 for i in range(8))
+
+
+def test_sample_patch_uniform_in_bounds():
+    img, seg = synthetic.make_case_arrays(seed=2, shape=(40, 40, 40))
+    key = jax.random.PRNGKey(1)
+    imgs, segs = sampling.sample_batch(
+        key, jnp.asarray(img), jnp.asarray(seg), (16, 16, 16), batch=16,
+        fg_table=None, fg_prob=0.0,
+    )
+    assert not np.isnan(np.asarray(imgs)).any()
+
+
+def test_fg_table_empty_seg():
+    seg = np.zeros((20, 20, 20), dtype=np.uint8)
+    fg = sampling.build_fg_table_np(seg, size=16)
+    assert fg.shape == (16, 3)
+    np.testing.assert_array_equal(fg[0], [10, 10, 10])
+
+
+def test_flips_preserve_alignment():
+    img = np.zeros((8, 8, 8, 2), dtype=np.float32)
+    seg = np.zeros((8, 8, 8), dtype=np.int32)
+    img[1, 2, 3, :] = 7.0
+    seg[1, 2, 3] = 3
+    # try several keys; image and seg must flip identically
+    for s in range(6):
+        key = jax.random.PRNGKey(s)
+        fi, fs = augment.random_flips(key, jnp.asarray(img), jnp.asarray(seg))
+        fi, fs = np.asarray(fi), np.asarray(fs)
+        pos_img = np.argwhere(fi[..., 0] != 0)
+        pos_seg = np.argwhere(fs != 0)
+        np.testing.assert_array_equal(pos_img, pos_seg)
+
+
+def test_intensity_jitter_zero_background():
+    img = np.zeros((8, 8, 8, 4), dtype=np.float32)
+    img[2:6, 2:6, 2:6, :] = 1.0
+    out = np.asarray(
+        augment.intensity_jitter(jax.random.PRNGKey(0), jnp.asarray(img))
+    )
+    assert (out[img == 0] == 0).all()
+    assert (out[img != 0] != 0).all()
+    assert not np.allclose(out[img != 0], 1.0)  # actually jittered
+
+
+def test_augment_batch_shapes():
+    img, seg = synthetic.make_case_arrays(seed=4, shape=(16, 16, 16))
+    imgs = jnp.asarray(np.stack([img] * 4))
+    segs = jnp.asarray(np.stack([seg] * 4))
+    ai, as_ = augment.augment_batch(jax.random.PRNGKey(0), imgs, segs)
+    assert ai.shape == imgs.shape and as_.shape == segs.shape
+    # different batch elements got different augmentations
+    assert not np.allclose(np.asarray(ai[0]), np.asarray(ai[1]))

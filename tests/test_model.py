@@ -1,0 +1,63 @@
+"""U-Net forward/backward sanity (SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brats2019_tpu.models import UNet3D, UNetConfig
+from brats2019_tpu.train.loss import segmentation_loss
+
+CFG = UNetConfig(levels=3, base_features=4, compute_dtype="float32")
+
+
+def test_forward_shape():
+    model = UNet3D(CFG)
+    x = jnp.zeros((2, 16, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 16, 16, 16, 4)
+    assert y.dtype == jnp.float32
+
+
+def test_forward_nonsquare_shape():
+    model = UNet3D(CFG)
+    x = jnp.zeros((1, 16, 32, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(params, x).shape == (1, 16, 32, 8, 4)
+
+
+def test_bfloat16_compute_fp32_params():
+    cfg = UNetConfig(levels=2, base_features=4, compute_dtype="bfloat16")
+    model = UNet3D(cfg)
+    x = jnp.zeros((1, 8, 8, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    y = model.apply(params, x)
+    assert y.dtype == jnp.float32  # head promotes to fp32
+
+
+def test_grads_finite_and_nonzero():
+    model = UNet3D(CFG)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, 16, 16, 16, 4))
+    labels = jnp.zeros((1, 16, 16, 16), dtype=jnp.int32)
+    params = model.init(key, x)
+
+    def loss_fn(p):
+        logits = model.apply(p, x)
+        l, _ = segmentation_loss(logits, labels)
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_param_count_reasonable():
+    model = UNet3D(UNetConfig(levels=4, base_features=16))
+    x = jnp.zeros((1, 32, 32, 32, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
+    assert 1e5 < n < 1e8
