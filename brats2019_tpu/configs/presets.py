@@ -1,0 +1,149 @@
+"""Frozen config dataclasses + the five judged presets (BASELINE.json:7-11).
+
+The reference configures via argparse + notebook constants; here every entry
+point takes one frozen dataclass, overridable from CLI flags (SURVEY.md §5
+"Config / flag system"). Presets:
+
+  smoke       — config 1: single case, 64^3 patches, CPU-sized net, 1 step
+  single_chip — config 2: full U-Net, 128^3 patches, on-device aug, 1 TPU chip
+  cascade     — config 3: coarse 64^3 localization -> fine 128^3 refinement
+  inference   — config 4: whole-volume sliding window + blending + 8-flip TTA
+  dp_v4_32    — config 5: data-parallel over a v4-32 slice (16 devices/mesh
+                axis entries at 2 hosts x 8 ... mesh shape is taken from the
+                actual runtime device count; the preset just sets scale knobs)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from ..models.unet3d import UNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # data
+    patch: Tuple[int, int, int] = (128, 128, 128)
+    coarse_patch: Tuple[int, int, int] = (64, 64, 64)   # stage-1 patch (D:7)
+    pool_shape: Tuple[int, int, int] = (160, 224, 160)  # bbox-cropped case canvas
+    pool_cases_per_device: int = 4
+    batch_per_device: int = 1
+    fg_prob: float = 0.5
+    augment: bool = True
+    intensity_scale: float = 0.1
+    intensity_shift: float = 0.1
+    pool_refresh_every: int = 8      # steps between pool slot swaps
+    # stage-1 (coarse) trains on 2x-downsampled volumes
+    train_downsample: int = 1
+    # optimization
+    steps: int = 60000
+    lr: float = 3e-4
+    end_lr_frac: float = 0.01
+    warmup_steps: int = 1000
+    weight_decay: float = 1e-5
+    grad_clip: float = 1.0
+    # loss
+    dice_weight: float = 1.0
+    ce_weight: float = 1.0
+    # bookkeeping
+    seed: int = 0
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    tile: Tuple[int, int, int] = (128, 128, 128)
+    overlap: float = 0.5             # fraction of tile overlapped
+    blend: str = "gaussian"          # "gaussian" | "softmax" (uniform prob avg)
+    gaussian_sigma_frac: float = 0.125
+    tta_flips: bool = True           # 8-way flip TTA (C15)
+    min_component_voxels: int = 16   # CC filter threshold (C16)
+    et_min_voxels: int = 32          # relabel tiny ET -> NCR (BraTS trick)
+    cascade: bool = True
+    coarse_shape: Tuple[int, int, int] = (96, 112, 80)  # stage-1 grid
+    roi_shape: Tuple[int, int, int] = (160, 192, 160)   # stage-2 crop
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "default"
+    unet: UNetConfig = UNetConfig()
+    coarse_unet: Optional[UNetConfig] = None   # cascade stage 1 (None = no cascade)
+    train: TrainConfig = TrainConfig()
+    infer: InferenceConfig = InferenceConfig()
+    workdir: str = "runs/default"
+
+
+_FULL_UNET = UNetConfig(levels=5, base_features=24, max_features=256)
+_COARSE_UNET = UNetConfig(levels=4, base_features=16, max_features=128)
+
+PRESETS = {
+    # config 1 (BASELINE.json:7): tiny end-to-end slice, CPU-able
+    "smoke": ExperimentConfig(
+        name="smoke",
+        unet=UNetConfig(levels=3, base_features=8, max_features=32,
+                        compute_dtype="float32"),
+        coarse_unet=None,
+        train=TrainConfig(
+            patch=(64, 64, 64),
+            pool_shape=(96, 96, 80),
+            pool_cases_per_device=1,
+            steps=1,
+            warmup_steps=0,
+            log_every=1,
+            eval_every=0,
+            checkpoint_every=0,
+        ),
+        infer=InferenceConfig(
+            tile=(64, 64, 64), tta_flips=False, cascade=False,
+            compute_dtype="float32",
+        ),
+        workdir="runs/smoke",
+    ),
+    # config 2 (BASELINE.json:8): full U-Net, 128^3, on-device aug, 1 chip
+    "single_chip": ExperimentConfig(
+        name="single_chip",
+        unet=_FULL_UNET,
+        coarse_unet=None,
+        train=TrainConfig(),
+        infer=InferenceConfig(cascade=False),
+        workdir="runs/single_chip",
+    ),
+    # config 3 (BASELINE.json:9): two-stage cascade
+    "cascade": ExperimentConfig(
+        name="cascade",
+        unet=_FULL_UNET,
+        coarse_unet=_COARSE_UNET,
+        train=TrainConfig(),
+        infer=InferenceConfig(cascade=True),
+        workdir="runs/cascade",
+    ),
+    # config 4 (BASELINE.json:10): whole-volume sliding-window + TTA inference
+    "inference": ExperimentConfig(
+        name="inference",
+        unet=_FULL_UNET,
+        coarse_unet=_COARSE_UNET,
+        infer=InferenceConfig(cascade=True, tta_flips=True),
+        workdir="runs/inference",
+    ),
+    # config 5 (BASELINE.json:11): DP over a slice; mesh size from runtime
+    "dp_v4_32": ExperimentConfig(
+        name="dp_v4_32",
+        unet=_FULL_UNET,
+        coarse_unet=_COARSE_UNET,
+        train=TrainConfig(batch_per_device=1, pool_cases_per_device=2),
+        infer=InferenceConfig(cascade=True),
+        workdir="runs/dp_v4_32",
+    ),
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"Unknown preset '{name}'. Have: {sorted(PRESETS)}")
+    return PRESETS[name]

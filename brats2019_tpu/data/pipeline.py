@@ -1,0 +1,273 @@
+"""Host->device input pipeline: the device-resident case pool (SURVEY.md C6,
+N4; BASELINE.json:11 "sharded host->device input pipeline").
+
+The reference feeds the GPU from NumPy DataLoader workers that re-slice
+patches on the host every step. TPU-first inversion: whole preprocessed
+cases live in device HBM as a fixed-size *pool*, sharded over the data axis;
+patch sampling + augmentation happen inside the jitted train step (zero
+host->device traffic per step). The host's only steady-state job is
+refreshing pool slots with freshly decoded cases in a background thread —
+sized for this container's single CPU core.
+
+Layout (global shapes; leading axis sharded over the ``('data',)`` mesh):
+  pool_img : (K, X, Y, Z, 4)  bfloat16, z-scored, bbox-cropped to the canvas
+  pool_seg : (K, X, Y, Z)     uint8 internal labels
+  pool_fg  : (K, T, 3)        int32 foreground-voxel table for biased sampling
+
+Checkpoint/resume: the deterministic case cursor (epoch, index) is part of
+the training checkpoint (SURVEY.md §5 "loader position").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import ml_dtypes
+
+from ..parallel.mesh import DATA_AXIS, MeshEnv
+from .case import Case, load_case
+from .preprocess import brain_bbox_np, crop_np, zscore_np
+from .sampling import FG_TABLE_SIZE, build_fg_table_np
+
+BF16 = np.dtype(ml_dtypes.bfloat16)
+
+
+def fit_to_canvas(vol: np.ndarray, canvas: Tuple[int, int, int], fill=0) -> np.ndarray:
+    """Center-pad (or center-crop) spatial dims to exactly ``canvas``."""
+    out_shape = tuple(canvas) + vol.shape[3:]
+    out = np.full(out_shape, fill, dtype=vol.dtype)
+    src_sl, dst_sl = [], []
+    for ax in range(3):
+        s, t = vol.shape[ax], canvas[ax]
+        if s <= t:
+            off = (t - s) // 2
+            src_sl.append(slice(0, s))
+            dst_sl.append(slice(off, off + s))
+        else:
+            off = (s - t) // 2
+            src_sl.append(slice(off, off + t))
+            dst_sl.append(slice(0, t))
+    out[tuple(dst_sl)] = vol[tuple(src_sl)]
+    return out
+
+
+def prepare_training_case(
+    case: Case,
+    canvas: Tuple[int, int, int],
+    downsample: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Full host-side prep: z-score -> bbox crop -> canvas fit -> fg table.
+
+    ``downsample`` > 1 produces the stage-1 (coarse) training view: the
+    volume is average-pooled by that factor *before* canvas fitting, so the
+    coarse model sees the whole brain at low resolution (SURVEY.md C8).
+    """
+    img = zscore_np(case.image)
+    seg = case.seg if case.seg is not None else np.zeros(img.shape[:3], np.uint8)
+    bbox = brain_bbox_np(img)
+    img = crop_np(img, bbox)
+    seg = crop_np(seg, bbox)
+    if downsample > 1:
+        d = downsample
+        # trim to multiples, then box-average image / stride-subsample labels
+        trim = tuple((s // d) * d for s in img.shape[:3])
+        img = img[: trim[0], : trim[1], : trim[2]]
+        seg = seg[: trim[0], : trim[1], : trim[2]]
+        img = img.reshape(
+            trim[0] // d, d, trim[1] // d, d, trim[2] // d, d, -1
+        ).mean(axis=(1, 3, 5))
+        seg = seg[d // 2 :: d, d // 2 :: d, d // 2 :: d]
+    img = fit_to_canvas(img.astype(np.float32), canvas)
+    seg = fit_to_canvas(seg.astype(np.uint8), canvas)
+    return {
+        "image": img.astype(BF16),
+        "seg": seg,
+        "fg": build_fg_table_np(seg, FG_TABLE_SIZE),
+    }
+
+
+@dataclasses.dataclass
+class CaseCursor:
+    """Deterministic shuffled traversal of the case list; checkpointable."""
+
+    n_cases: int
+    seed: int = 0
+    epoch: int = 0
+    index: int = 0
+
+    def _order(self) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + self.epoch * 1_000_003)
+        return rng.permutation(self.n_cases)
+
+    def next_index(self) -> int:
+        order = self._order()
+        i = int(order[self.index])
+        self.index += 1
+        if self.index >= self.n_cases:
+            self.index = 0
+            self.epoch += 1
+        return i
+
+    def state(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "index": self.index, "seed": self.seed}
+
+    def load_state(self, s: Dict[str, int]) -> None:
+        self.epoch, self.index, self.seed = s["epoch"], s["index"], s["seed"]
+
+
+class CasePool:
+    """Sharded device-resident pool of preprocessed cases with background
+    host refresh. Single-controller style: on a multi-host slice each
+    process constructs only its addressable shards
+    (``jax.make_array_from_single_device_arrays``)."""
+
+    def __init__(
+        self,
+        case_dirs: Sequence[str],
+        env: MeshEnv,
+        canvas: Tuple[int, int, int],
+        cases_per_device: int,
+        downsample: int = 1,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        if not case_dirs:
+            raise ValueError("CasePool needs at least one case")
+        self.case_dirs = list(case_dirs)
+        self.env = env
+        self.canvas = tuple(canvas)
+        self.downsample = downsample
+        all_devices = list(env.mesh.devices.reshape(-1))
+        # each process feeds only its addressable devices (multi-host safe)
+        self.devices = [
+            d for d in all_devices if d.process_index == jax.process_index()
+        ]
+        self.k_local = cases_per_device
+        self.k_global = cases_per_device * len(all_devices)
+        self.cursor = CaseCursor(len(self.case_dirs), seed=seed)
+        self._queue: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(
+            maxsize=prefetch
+        )
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._slot = 0
+
+        # per-device single-device buffers, reassembled into global arrays
+        self._shards: Dict[str, List[list]] = {"image": [], "seg": [], "fg": []}
+        self._build_initial()
+
+    # -- host side ---------------------------------------------------------
+    def _load_next(self) -> Dict[str, np.ndarray]:
+        d = self.case_dirs[self.cursor.next_index()]
+        return prepare_training_case(
+            load_case(d), self.canvas, downsample=self.downsample
+        )
+
+    def _build_initial(self) -> None:
+        per_dev: List[Dict[str, List[np.ndarray]]] = []
+        for _ in self.devices:
+            bufs = {"image": [], "seg": [], "fg": []}
+            for _ in range(self.k_local):
+                c = self._load_next()
+                for k in bufs:
+                    bufs[k].append(c[k])
+            per_dev.append(bufs)
+        for name in ("image", "seg", "fg"):
+            self._shards[name] = [
+                [
+                    jax.device_put(arr, dev)
+                    for arr in per_dev[i][name]
+                ]
+                for i, dev in enumerate(self.devices)
+            ]
+        self._assemble()
+
+    def _assemble(self) -> None:
+        """Build global sharded arrays from per-device slot buffers."""
+        arrays = {}
+        for name in ("image", "seg", "fg"):
+            sample = self._shards[name][0][0]
+            local_shape = (self.k_local,) + sample.shape
+            global_shape = (self.k_global,) + sample.shape
+            sharding = NamedSharding(self.env.mesh, P(DATA_AXIS))
+            # stack each device's slots into one per-device shard
+            shards = []
+            for i, dev in enumerate(self.devices):
+                import jax.numpy as jnp
+
+                stacked = jax.device_put(
+                    jnp.stack(self._shards[name][i]), dev
+                )
+                shards.append(stacked)
+            arrays[name] = jax.make_array_from_single_device_arrays(
+                global_shape, sharding, shards
+            )
+        self.image, self.seg, self.fg = (
+            arrays["image"],
+            arrays["seg"],
+            arrays["fg"],
+        )
+
+    # -- background refresh ------------------------------------------------
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            # drain so the worker can observe the stop flag
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                c = self._load_next()
+            except Exception:
+                continue
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(c, timeout=0.5)
+                    break
+                except queue.Full:
+                    pass
+
+    def maybe_refresh(self) -> bool:
+        """Swap one pool slot with a prepared case, if one is ready.
+
+        Round-robins over (device, slot); non-blocking — if the host hasn't
+        finished decoding the next case, training continues on the current
+        pool (the device never waits for the host).
+        """
+        try:
+            c = self._queue.get_nowait()
+        except queue.Empty:
+            return False
+        dev_i = self._slot % len(self.devices)
+        slot_i = (self._slot // len(self.devices)) % self.k_local
+        self._slot += 1
+        dev = self.devices[dev_i]
+        for name in ("image", "seg", "fg"):
+            self._shards[name][dev_i][slot_i] = jax.device_put(c[name], dev)
+        self._assemble()
+        return True
+
+    def state(self):
+        return self.cursor.state()
+
+    def load_state(self, s) -> None:
+        self.cursor.load_state(s)

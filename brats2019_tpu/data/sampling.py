@@ -64,8 +64,7 @@ def _random_origin(
     return jnp.where(take_fg, fg_origin, uniform)
 
 
-@partial(jax.jit, static_argnames=("patch", "fg_prob"))
-def sample_patch(
+def sample_patch_impl(
     key: jax.Array,
     image: jnp.ndarray,          # (X, Y, Z, C)
     seg: jnp.ndarray,            # (X, Y, Z) int
@@ -73,7 +72,7 @@ def sample_patch(
     fg_table: Optional[jnp.ndarray] = None,   # (T, 3) int32 or None
     fg_prob: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Extract one random (patch + 4ch image, patch seg) pair on device."""
+    """Trace-level patch extraction (composable inside larger jitted graphs)."""
     vol_shape = image.shape[:3]
     origin = _random_origin(key, vol_shape, patch, fg_table, fg_prob)
     img = jax.lax.dynamic_slice(
@@ -83,6 +82,11 @@ def sample_patch(
     )
     sg = jax.lax.dynamic_slice(seg, (origin[0], origin[1], origin[2]), patch)
     return img, sg
+
+
+sample_patch = partial(jax.jit, static_argnames=("patch", "fg_prob"))(
+    sample_patch_impl
+)
 
 
 def sample_batch(

@@ -1,0 +1,134 @@
+"""Checkpoint / resume via orbax (SURVEY.md C12, §5).
+
+Reference: ``torch.save`` state dicts with best-on-val-Dice selection [K].
+Rebuild: orbax ``CheckpointManager`` — async-capable, multi-host-safe —
+saving params + optimizer state + step + data-loader cursor, with ``latest``
+retention and a separate ``best`` (highest mean val Dice) checkpoint.
+Resume restores bitwise-identical state: RNG needs no saving because step
+keys are derived from (seed, step) (see train/step.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, workdir: str, keep: int = 3):
+        self.dir = os.path.abspath(os.path.join(workdir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+        self.best_dir = os.path.join(self.dir, "best")
+        self._best_metric: Optional[float] = self._read_best_metric()
+
+    def _read_best_metric(self) -> Optional[float]:
+        p = os.path.join(self.best_dir, "metric.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)["metric"]
+        return None
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any,
+        cursor: Dict[str, int],
+        metric: Optional[float] = None,
+    ) -> None:
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": step,
+            "cursor": dict(cursor),
+        }
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if metric is not None and (
+            self._best_metric is None or metric > self._best_metric
+        ):
+            self._best_metric = metric
+            ckptr = ocp.StandardCheckpointer()
+            best_path = os.path.join(self.best_dir, "state")
+            ckptr.save(best_path, {"params": params, "step": step}, force=True)
+            ckptr.wait_until_finished()
+            with open(os.path.join(self.best_dir, "metric.json"), "w") as f:
+                json.dump({"metric": metric, "step": step}, f)
+
+    def wait(self) -> None:
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(
+        self, params_like: Any, opt_state_like: Any
+    ) -> Optional[Tuple[Any, Any, int, Dict[str, int]]]:
+        """Restore the latest checkpoint, or None if there is none."""
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        target = {
+            "params": params_like,
+            "opt_state": opt_state_like,
+            "step": 0,
+            "cursor": {"epoch": 0, "index": 0, "seed": 0},
+        }
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return (
+            restored["params"],
+            restored["opt_state"],
+            int(restored["step"]),
+            restored["cursor"],
+        )
+
+    def restore_best_params(self, params_like: Any) -> Optional[Any]:
+        best_path = os.path.join(self.best_dir, "state")
+        if not os.path.exists(best_path):
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            best_path, args=ocp.args.StandardRestore({"params": params_like, "step": 0})
+        )
+        return restored["params"]
+
+    def close(self) -> None:
+        self.mgr.wait_until_finished()
+        self.mgr.close()
+
+
+def export_params(path: str, params: Any) -> None:
+    """Export inference-only params (for the predict CLI) as a flat npz —
+    a dependency-free interchange format (safetensors would also work)."""
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        out[key] = np.asarray(leaf)
+    np.savez(path, **out)
+
+
+def import_params(path: str, params_like: Any) -> Any:
+    """Inverse of export_params against a template pytree."""
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_like)
+    leaves = []
+    for kp, like in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        arr = data[key]
+        assert arr.shape == like.shape, f"{key}: {arr.shape} != {like.shape}"
+        leaves.append(arr.astype(like.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,202 @@
+"""Training loop orchestration (SURVEY.md C10, C12, C13).
+
+One ``train_stage`` call trains one U-Net stage (the cascade = two calls:
+coarse at ``downsample=2``, fine at full resolution — SURVEY.md C8). The
+loop is thin by design: all per-step compute is inside the jitted shard_map
+step (train/step.py); the host refreshes the case pool, logs, validates, and
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import ExperimentConfig, TrainConfig
+from ..data.case import load_case
+from ..data.pipeline import CasePool, prepare_training_case
+from ..models.unet3d import UNet3D, UNetConfig
+from ..parallel.mesh import MeshEnv, make_mesh
+from ..utils.logging import MetricsLogger
+from .checkpoint import CheckpointManager
+from .metrics import region_dice_np
+from .step import make_eval_step, make_optimizer, make_train_step
+
+
+@dataclasses.dataclass
+class StageResult:
+    params: object
+    final_metrics: Dict[str, float]
+    workdir: str
+
+
+def init_stage(
+    unet_cfg: UNetConfig, train_cfg: TrainConfig, env: MeshEnv
+) -> Tuple[UNet3D, object, object]:
+    """Build model + replicated params/opt state on the mesh."""
+    model = UNet3D(unet_cfg)
+    sample = jnp.zeros((1,) + tuple(train_cfg.patch) + (4,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(train_cfg.seed), sample)
+    tx = make_optimizer(train_cfg)
+    opt_state = tx.init(params)
+    repl = env.replicated()
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    return model, params, opt_state
+
+
+def _validate(
+    eval_step,
+    params,
+    val_canvases: List[Dict[str, np.ndarray]],
+) -> Dict[str, float]:
+    dices = {"WT": [], "TC": [], "ET": []}
+    for c in val_canvases:
+        pred = np.asarray(eval_step(params, jnp.asarray(c["image"])))
+        d = region_dice_np(pred, c["seg"])
+        for k in dices:
+            dices[k].append(d[k])
+    out = {f"dice_{k}": float(np.mean(v)) for k, v in dices.items()}
+    out["dice_mean"] = float(np.mean([out[f"dice_{k}"] for k in dices]))
+    return out
+
+
+def train_stage(
+    exp: ExperimentConfig,
+    case_dirs: Sequence[str],
+    *,
+    stage: str = "fine",
+    val_dirs: Sequence[str] = (),
+    env: Optional[MeshEnv] = None,
+    profile: bool = False,
+) -> StageResult:
+    """Train one stage to completion (or resume+continue); returns params."""
+    env = env or make_mesh()
+    cfg = exp.train
+    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
+    assert unet_cfg is not None, f"no unet config for stage '{stage}'"
+    if stage == "coarse":
+        # stage 1 sees the whole brain at 1/2 resolution on a halved canvas,
+        # training on 64^3 patches (BASELINE.json:9 "coarse 64^3 localization")
+        downsample = 2
+        m = unet_cfg.min_spatial
+        canvas = tuple(max(m, (s // 2 // m) * m) for s in cfg.pool_shape)
+        cfg = dataclasses.replace(cfg, patch=cfg.coarse_patch, pool_shape=canvas)
+    else:
+        downsample = cfg.train_downsample
+    workdir = os.path.join(exp.workdir, stage)
+    os.makedirs(workdir, exist_ok=True)
+
+    model, params, opt_state = init_stage(unet_cfg, cfg, env)
+    apply_fn = lambda p, x: model.apply(p, x)
+    train_step = make_train_step(apply_fn, cfg, env)
+    eval_step = make_eval_step(apply_fn)
+
+    ckpt = CheckpointManager(workdir, keep=cfg.keep_checkpoints)
+    logger = MetricsLogger(workdir, name=f"{stage}")
+
+    pool = CasePool(
+        case_dirs,
+        env,
+        canvas=cfg.pool_shape,
+        cases_per_device=cfg.pool_cases_per_device,
+        downsample=downsample,
+        seed=cfg.seed,
+    )
+
+    start_step = 0
+    restored = ckpt.restore(params, opt_state)
+    if restored is not None:
+        params, opt_state, start_step, cursor = restored
+        pool.load_state(cursor)
+        print(f"[{stage}] resumed from step {start_step}", flush=True)
+
+    # validation canvases prepared once, cached on host
+    val_canvases: List[Dict[str, np.ndarray]] = []
+    for d in val_dirs:
+        c = prepare_training_case(load_case(d), cfg.pool_shape, downsample=downsample)
+        val_canvases.append({"image": np.asarray(c["image"], np.float32), "seg": c["seg"]})
+
+    pool.start()
+    step_arr = None
+    t_last = time.time()
+    steps_since_log = 0
+    last_metrics: Dict[str, float] = {}
+    try:
+        for step in range(start_step, cfg.steps):
+            if profile and step == start_step + 10:
+                jax.profiler.start_trace(os.path.join(workdir, "profile"))
+            if profile and step == start_step + 20:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+
+            step_arr = jnp.int32(step)
+            params, opt_state, aux = train_step.fn(
+                params, opt_state, pool.image, pool.seg, pool.fg, step_arr
+            )
+            steps_since_log += 1
+
+            if cfg.pool_refresh_every and step % cfg.pool_refresh_every == 0:
+                pool.maybe_refresh()
+
+            if cfg.log_every and (step + 1) % cfg.log_every == 0 or step == cfg.steps - 1:
+                aux = jax.device_get(aux)
+                dt = time.time() - t_last
+                sps = steps_since_log / max(dt, 1e-9)
+                last_metrics = {k: float(v) for k, v in aux.items()}
+                last_metrics["steps_per_sec"] = sps
+                last_metrics["patches_per_sec"] = (
+                    sps * cfg.batch_per_device * env.n_data
+                )
+                logger.log(step + 1, last_metrics)
+                t_last = time.time()
+                steps_since_log = 0
+
+            do_eval = (
+                cfg.eval_every and (step + 1) % cfg.eval_every == 0 and val_canvases
+            )
+            metric = None
+            if do_eval:
+                vm = _validate(eval_step, params, val_canvases)
+                logger.log(step + 1, vm, prefix="val_")
+                metric = vm["dice_mean"]
+            if cfg.checkpoint_every and (
+                (step + 1) % cfg.checkpoint_every == 0 or step == cfg.steps - 1
+            ):
+                ckpt.save(step + 1, params, opt_state, pool.state(), metric=metric)
+    finally:
+        pool.stop()
+        ckpt.wait()
+        logger.close()
+
+    # final checkpoint for short runs that never hit checkpoint_every
+    if cfg.checkpoint_every == 0 or cfg.steps < (cfg.checkpoint_every or 1):
+        ckpt.save(cfg.steps, params, opt_state, pool.state(), metric=None)
+        ckpt.wait()
+    ckpt.close()
+    return StageResult(params=params, final_metrics=last_metrics, workdir=workdir)
+
+
+def train_experiment(
+    exp: ExperimentConfig,
+    case_dirs: Sequence[str],
+    val_dirs: Sequence[str] = (),
+    profile: bool = False,
+) -> Dict[str, StageResult]:
+    """Train all stages of an experiment (coarse first when cascaded)."""
+    env = make_mesh()
+    results: Dict[str, StageResult] = {}
+    if exp.coarse_unet is not None:
+        results["coarse"] = train_stage(
+            exp, case_dirs, stage="coarse", val_dirs=val_dirs, env=env, profile=profile
+        )
+    results["fine"] = train_stage(
+        exp, case_dirs, stage="fine", val_dirs=val_dirs, env=env, profile=profile
+    )
+    return results

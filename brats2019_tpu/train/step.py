@@ -1,0 +1,150 @@
+"""The jitted data-parallel training step (SURVEY.md C10 + §2.2 DP).
+
+TPU-first design, contrasted with the reference's loop (host DataLoader ->
+``batch.to(device)`` -> forward/backward):
+
+* the whole inner loop — patch sampling (C4), augmentation (C5), forward,
+  loss (C9), backward, gradient all-reduce, optimizer — is ONE compiled XLA
+  program per step; the host's only job is refreshing the device-resident
+  case pool (see ``brats2019_tpu.data.pipeline``).
+* SPMD via ``jax.shard_map`` over a ``('data',)`` mesh: each device samples
+  its local batch from its local pool shard, computes local grads, and
+  ``jax.lax.pmean`` emits the ICI all-reduce. Params/optimizer state are
+  replicated; the update is computed identically everywhere.
+* RNG is derived from (seed, step, data-axis index) — no key threading, and
+  checkpoint/resume is bitwise-reproducible from the step counter alone
+  (SURVEY.md §5 "checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..configs.presets import TrainConfig
+from ..data.augment import augment
+from ..data.sampling import sample_patch_impl
+from ..parallel.mesh import DATA_AXIS, MeshEnv
+from .loss import segmentation_loss
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW + linear warmup -> cosine decay + global-norm clipping."""
+    if cfg.warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            # start one warmup increment up, not at 0 — step 0 learns too
+            init_value=cfg.lr / (cfg.warmup_steps + 1),
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.steps, 2),
+            end_value=cfg.lr * cfg.end_lr_frac,
+        )
+    else:
+        schedule = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=max(cfg.steps, 2), alpha=cfg.end_lr_frac
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+@dataclasses.dataclass
+class TrainStep:
+    """Compiled train step + the optimizer used to build it."""
+
+    fn: Callable  # (params, opt_state, pool_img, pool_seg, fg_tables, step)
+    tx: optax.GradientTransformation
+
+
+def make_train_step(
+    apply_fn: Callable, cfg: TrainConfig, env: MeshEnv
+) -> TrainStep:
+    """Build the jitted shard_map train step.
+
+    apply_fn(params, batch_images) -> logits. Pool arrays are sharded on
+    their leading (case-slot) axis; params/opt state replicated.
+    """
+    tx = make_optimizer(cfg)
+
+    def sample_local_batch(step: jnp.ndarray, pool_img, pool_seg, fg_tables):
+        """Per-device: draw batch_per_device patches from the local pool."""
+        key = jax.random.PRNGKey(cfg.seed)
+        key = jax.random.fold_in(key, step)
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        keys = jax.random.split(key, cfg.batch_per_device)
+
+        def sample_one(k):
+            k_case, k_patch, k_aug = jax.random.split(k, 3)
+            ci = jax.random.randint(k_case, (), 0, pool_img.shape[0])
+            img = jax.lax.dynamic_index_in_dim(pool_img, ci, keepdims=False)
+            seg = jax.lax.dynamic_index_in_dim(pool_seg, ci, keepdims=False)
+            fg = jax.lax.dynamic_index_in_dim(fg_tables, ci, keepdims=False)
+            pi, ps = sample_patch_impl(
+                k_patch, img, seg, cfg.patch, fg, cfg.fg_prob
+            )
+            if cfg.augment:
+                pi, ps = augment(
+                    k_aug,
+                    pi,
+                    ps,
+                    scale_range=cfg.intensity_scale,
+                    shift_range=cfg.intensity_shift,
+                )
+            return pi, ps
+
+        return jax.vmap(sample_one)(keys)
+
+    def local_step(params, opt_state, pool_img, pool_seg, fg_tables, step):
+        imgs, segs = sample_local_batch(step, pool_img, pool_seg, fg_tables)
+        segs = segs.astype(jnp.int32)
+
+        def loss_fn(p):
+            logits = apply_fn(p, imgs)
+            return segmentation_loss(
+                logits,
+                segs,
+                dice_weight=cfg.dice_weight,
+                ce_weight=cfg.ce_weight,
+            )
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        aux = jax.lax.pmean(aux, DATA_AXIS)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        aux = dict(aux, grad_norm=gnorm)
+        return new_params, new_opt_state, aux
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=env.mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # optax update on pmean'd grads is replicated by construction
+    )
+
+    repl = NamedSharding(env.mesh, P())
+    fn = jax.jit(
+        sharded,
+        donate_argnums=(0, 1),
+        out_shardings=(repl, repl, repl),
+    )
+    return TrainStep(fn=fn, tx=tx)
+
+
+def make_eval_step(apply_fn: Callable) -> Callable:
+    """Whole-canvas eval: returns predicted internal labels for one volume."""
+
+    @jax.jit
+    def eval_step(params, image):  # image: (X, Y, Z, C)
+        logits = apply_fn(params, image[None])[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    return eval_step

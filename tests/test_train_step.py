@@ -1,0 +1,122 @@
+"""DP train step over the 8-virtual-device mesh (SURVEY.md §4.3
+"Distributed without a cluster")."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brats2019_tpu.configs.presets import TrainConfig
+from brats2019_tpu.data.synthetic import make_case_arrays
+from brats2019_tpu.data.preprocess import zscore_np
+from brats2019_tpu.data.sampling import build_fg_table_np
+from brats2019_tpu.models import UNet3D, UNetConfig
+from brats2019_tpu.parallel.mesh import make_mesh
+from brats2019_tpu.train.step import make_eval_step, make_optimizer, make_train_step
+
+CFG = TrainConfig(
+    patch=(16, 16, 16),
+    pool_shape=(32, 32, 32),
+    pool_cases_per_device=1,
+    batch_per_device=1,
+    steps=10,
+    warmup_steps=2,
+    lr=1e-3,
+    fg_prob=0.5,
+)
+UCFG = UNetConfig(levels=2, base_features=4, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    env = make_mesh()
+    model = UNet3D(UCFG)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4))
+    )
+    tx = make_optimizer(CFG)
+    opt_state = tx.init(params)
+    repl = env.replicated()
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    k = env.n_data  # one case per device
+    imgs, segs, fgs = [], [], []
+    for i in range(k):
+        img, seg = make_case_arrays(seed=i, shape=(32, 32, 32))
+        imgs.append(zscore_np(img))
+        segs.append(seg)
+        fgs.append(build_fg_table_np(seg, 64))
+    sharded = env.data_sharded()
+    pool_img = jax.device_put(jnp.asarray(np.stack(imgs)), sharded)
+    pool_seg = jax.device_put(jnp.asarray(np.stack(segs)), sharded)
+    pool_fg = jax.device_put(jnp.asarray(np.stack(fgs)), sharded)
+
+    apply_fn = lambda p, x: UNet3D(UCFG).apply(p, x)
+    step = make_train_step(apply_fn, CFG, env)
+    return env, apply_fn, step, params, opt_state, (pool_img, pool_seg, pool_fg)
+
+
+def test_mesh_has_8_devices(setup):
+    env = setup[0]
+    assert env.n_data == 8
+
+
+def test_step_runs_and_updates(setup):
+    env, apply_fn, step, params, opt_state, pool = setup
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    o = jax.tree_util.tree_map(jnp.copy, opt_state)
+    params2, opt2, aux = step.fn(p, o, *pool, jnp.int32(0))
+    aux = jax.device_get(aux)
+    assert np.isfinite(aux["loss"])
+    assert np.isfinite(aux["grad_norm"]) and aux["grad_norm"] > 0
+    # params actually moved
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), params2, p0
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_step_deterministic(setup):
+    env, apply_fn, step, params, opt_state, pool = setup
+
+    def run():
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = jax.tree_util.tree_map(jnp.copy, opt_state)
+        p, o, aux = step.fn(p, o, *pool, jnp.int32(7))
+        return jax.device_get(aux)["loss"]
+
+    assert run() == run()
+
+
+def test_outputs_replicated(setup):
+    env, apply_fn, step, params, opt_state, pool = setup
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    o = jax.tree_util.tree_map(jnp.copy, opt_state)
+    p2, o2, aux = step.fn(p, o, *pool, jnp.int32(1))
+    leaf = jax.tree_util.tree_leaves(p2)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_loss_decreases_over_steps(setup):
+    env, apply_fn, step, params, opt_state, pool = setup
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    o = jax.tree_util.tree_map(jnp.copy, opt_state)
+    losses = []
+    for s in range(10):
+        p, o, aux = step.fn(p, o, *pool, jnp.int32(s))
+        losses.append(float(jax.device_get(aux)["loss"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_eval_step(setup):
+    env, apply_fn, step, params, opt_state, pool = setup
+    eval_step = make_eval_step(apply_fn)
+    img, _ = make_case_arrays(seed=99, shape=(32, 32, 32))
+    pred = np.asarray(eval_step(params, jnp.asarray(zscore_np(img))))
+    assert pred.shape == (32, 32, 32)
+    assert pred.dtype == np.uint8
+    assert set(np.unique(pred)) <= {0, 1, 2, 3}
