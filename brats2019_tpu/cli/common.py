@@ -1,0 +1,77 @@
+"""Shared CLI plumbing: preset overrides + checkpoint param loading."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs.presets import ExperimentConfig, get_preset
+from ..models.unet3d import UNet3D, UNetConfig
+from ..train.checkpoint import CheckpointManager, import_params
+
+
+def resolve_experiment(args) -> ExperimentConfig:
+    exp = get_preset(args.preset)
+    if getattr(args, "workdir", None):
+        exp = dataclasses.replace(exp, workdir=args.workdir)
+    if getattr(args, "steps", None):
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, steps=args.steps)
+        )
+    if getattr(args, "seed", None) is not None:
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, seed=args.seed)
+        )
+    return exp
+
+
+def params_like_for(unet_cfg: UNetConfig, patch=(32, 32, 32)):
+    model = UNet3D(unet_cfg)
+    return jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1,) + tuple(patch) + (4,))),
+        jax.random.PRNGKey(0),
+    )
+
+
+def load_stage_params(
+    exp: ExperimentConfig, stage: str, prefer_best: bool = True
+):
+    """Load trained params for a stage from its checkpoint directory.
+
+    Accepts either the orbax checkpoints under ``<workdir>/<stage>`` or an
+    exported ``params.npz`` (train/checkpoint.py export_params).
+    """
+    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
+    assert unet_cfg is not None
+    workdir = os.path.join(exp.workdir, stage)
+    npz = os.path.join(workdir, "params.npz")
+    like = params_like_for(unet_cfg)
+    like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
+    if os.path.exists(npz):
+        return import_params(npz, like)
+    ckpt = CheckpointManager(workdir)
+    try:
+        if prefer_best:
+            best = ckpt.restore_best_params(like)
+            if best is not None:
+                return best
+        # fall back to latest full checkpoint (params only)
+        from ..train.step import make_optimizer
+
+        tx = make_optimizer(exp.train)
+        opt_like = jax.eval_shape(lambda p: tx.init(p), like)
+        opt_like = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), opt_like
+        )
+        restored = ckpt.restore(like, opt_like)
+        if restored is None:
+            raise FileNotFoundError(
+                f"No checkpoint found for stage '{stage}' under {workdir}"
+            )
+        return restored[0]
+    finally:
+        ckpt.close()

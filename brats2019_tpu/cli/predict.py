@@ -1,0 +1,92 @@
+"""``predict <case_dir>`` entry point (SURVEY.md C17; BASELINE.json:5).
+
+Usage:
+    python -m brats2019_tpu.cli.predict <case_dir_or_root> [--preset cascade]
+        [--workdir DIR] [--output PATH] [--no-tta] [--no-cascade]
+
+Points at a BraTS case directory (or a root of several), loads the trained
+stage checkpoints, and writes ``<case>_pred.nii.gz`` with BraTS disk labels
+{0,1,2,4}, preserving the input header/affine (C1, C16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+from ..configs.presets import PRESETS
+from ..data.case import discover_cases
+from .common import load_stage_params, resolve_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="brats2019_tpu.predict", description=__doc__)
+    p.add_argument("case_dir", help="BraTS case directory (or root of cases)")
+    p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--output", default=None,
+                   help="output path (single-case mode only)")
+    p.add_argument("--no-tta", action="store_true")
+    p.add_argument("--no-cascade", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    exp = resolve_experiment(args)
+    infer = exp.infer
+    if args.no_tta:
+        infer = dataclasses.replace(infer, tta_flips=False)
+    if args.no_cascade:
+        infer = dataclasses.replace(infer, cascade=False)
+    exp = dataclasses.replace(exp, infer=infer)
+
+    cases = discover_cases(args.case_dir)
+    if not cases:
+        print(f"error: no BraTS case found at {args.case_dir}", file=sys.stderr)
+        return 2
+    if args.output and len(cases) > 1:
+        print("error: --output only valid for a single case", file=sys.stderr)
+        return 2
+
+    try:
+        params_fine = load_stage_params(exp, "fine")
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    params_coarse = None
+    if exp.infer.cascade and exp.coarse_unet is not None:
+        try:
+            params_coarse = load_stage_params(exp, "coarse")
+        except FileNotFoundError:
+            print("warning: no coarse checkpoint; disabling cascade",
+                  file=sys.stderr)
+            exp = dataclasses.replace(
+                exp, infer=dataclasses.replace(exp.infer, cascade=False)
+            )
+
+    from ..infer.predictor import Predictor
+
+    predictor = Predictor(exp, params_fine, params_coarse)
+    t0 = time.time()
+    for d in cases:
+        out, stats = predictor.predict_dir(
+            d, args.output if len(cases) == 1 else None
+        )
+        print(
+            f"[predict] {d} -> {out} "
+            f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
+            f"post {stats.post_s:.2f}s)",
+            flush=True,
+        )
+    dt = time.time() - t0
+    print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
+          f"({len(cases) / dt:.3f} volumes/sec)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

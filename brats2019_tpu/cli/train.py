@@ -1,0 +1,86 @@
+"""``train`` entry point (SURVEY.md C10; BASELINE.json:5 "train").
+
+Usage:
+    python -m brats2019_tpu.cli.train --data <BraTS_root> [--preset cascade]
+        [--val-frac 0.2] [--steps N] [--workdir DIR] [--stage all|fine|coarse]
+        [--synthetic N]  # generate N synthetic cases when no data exists
+
+Keeps the reference's CLI shape (a train command over a BraTS root) while
+every knob lives in the frozen preset dataclasses (SURVEY.md §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..configs.presets import PRESETS
+from ..data.case import discover_cases
+from ..parallel.mesh import initialize_distributed
+from .common import resolve_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="brats2019_tpu.train", description=__doc__)
+    p.add_argument("--data", help="BraTS root (dir of case dirs)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic cases under --data instead of reading real ones")
+    p.add_argument("--synthetic-shape", type=int, nargs=3, default=(96, 96, 80),
+                   help="synthetic volume shape (use 240 240 155 for realistic runs)")
+    p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
+    p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
+    p.add_argument("--val-frac", type=float, default=0.2)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-20")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    initialize_distributed()
+    exp = resolve_experiment(args)
+
+    if not args.data:
+        print("error: --data is required (point it at a BraTS root, or use "
+              "--synthetic N --data <dir> to generate data)", file=sys.stderr)
+        return 2
+    if args.synthetic > 0:
+        from ..data.synthetic import write_dataset
+
+        os.makedirs(args.data, exist_ok=True)
+        write_dataset(args.data, args.synthetic, shape=tuple(args.synthetic_shape))
+    cases = discover_cases(args.data)
+    if not cases:
+        print(f"error: no BraTS cases found under {args.data}", file=sys.stderr)
+        return 2
+    n_val = max(1, int(len(cases) * args.val_frac)) if len(cases) > 1 else 0
+    val_dirs = cases[:n_val]
+    train_dirs = cases[n_val:] or cases
+    print(f"[train] {len(train_dirs)} train / {len(val_dirs)} val cases; "
+          f"preset={exp.name} workdir={exp.workdir}", flush=True)
+
+    from ..train.loop import train_stage
+
+    stages = []
+    if args.stage in ("all", "coarse") and exp.coarse_unet is not None:
+        stages.append("coarse")
+    if args.stage in ("all", "fine"):
+        stages.append("fine")
+    from ..parallel.mesh import make_mesh
+
+    env = make_mesh()
+    for stage in stages:
+        res = train_stage(
+            exp, train_dirs, stage=stage, val_dirs=val_dirs, env=env,
+            profile=args.profile,
+        )
+        print(f"[train] stage {stage} done: {res.final_metrics}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

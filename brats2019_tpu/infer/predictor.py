@@ -1,0 +1,135 @@
+"""Whole-case prediction driver (SURVEY.md C17 + call stack §3.2).
+
+Host side is deliberately thin: NIfTI decode, brain-bbox crop (the only
+data-dependent-shape step, SURVEY.md §7.3.2), center-fit to the static
+canvas, one host->device transfer of the raw cropped volume — then the whole
+z-score -> cascade -> sliding-window+TTA -> blend -> argmax pipeline is a
+single compiled XLA program (models/cascade.py). Connected-component
+filtering and un-crop happen on the way back out; the output NIfTI reuses
+the input header/affine (C1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import ExperimentConfig
+from ..data.case import Case, load_case
+from ..data.constants import internal_to_disk
+from ..data.preprocess import BBox, brain_bbox_np, crop_np
+from ..data.pipeline import fit_to_canvas
+from ..models.cascade import make_predict_fn
+from ..models.unet3d import UNet3D
+from ..utils.nifti import write_nifti
+from .postprocess import postprocess_labels
+
+
+@dataclasses.dataclass
+class PredictionStats:
+    load_s: float
+    device_s: float
+    post_s: float
+
+    @property
+    def total_s(self) -> float:
+        return self.load_s + self.device_s + self.post_s
+
+
+class Predictor:
+    """Reusable (jit-once) whole-volume predictor for an experiment."""
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        params_fine,
+        params_coarse=None,
+        canvas: Optional[Tuple[int, int, int]] = None,
+    ):
+        self.exp = exp
+        self.canvas = tuple(canvas or exp.train.pool_shape)
+        fine_model = UNet3D(exp.unet)
+        fine_apply = lambda p, x: fine_model.apply(p, x)
+        coarse_apply = None
+        if exp.infer.cascade and exp.coarse_unet is not None and params_coarse is not None:
+            coarse_model = UNet3D(exp.coarse_unet)
+            coarse_apply = lambda p, x: coarse_model.apply(p, x)
+        self.params_fine = params_fine
+        self.params_coarse = params_coarse
+        self._fn = make_predict_fn(
+            fine_apply,
+            exp.infer,
+            self.canvas,
+            num_classes=exp.unet.num_classes,
+            coarse_apply=coarse_apply,
+        )
+
+    def predict_arrays(self, image: np.ndarray) -> Tuple[np.ndarray, PredictionStats]:
+        """image: raw (X, Y, Z, 4) float32 -> internal labels (X, Y, Z) uint8."""
+        t0 = time.time()
+        bbox = brain_bbox_np(image)
+        cropped = crop_np(image, bbox)
+        canvas_img = fit_to_canvas(cropped.astype(np.float32), self.canvas)
+        t1 = time.time()
+        labels_c, _ = self._fn(
+            self.params_fine, self.params_coarse, jnp.asarray(canvas_img)
+        )
+        labels_c = np.asarray(jax.device_get(labels_c))
+        t2 = time.time()
+        labels = self._uncrop(labels_c, cropped.shape[:3], bbox)
+        labels = postprocess_labels(
+            labels,
+            min_component_voxels=self.exp.infer.min_component_voxels,
+            et_min_voxels=self.exp.infer.et_min_voxels,
+        )
+        t3 = time.time()
+        return labels, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
+
+    def _uncrop(
+        self,
+        labels_canvas: np.ndarray,
+        cropped_shape: Tuple[int, int, int],
+        bbox: BBox,
+    ) -> np.ndarray:
+        """Invert fit_to_canvas + bbox crop back to the full volume."""
+        # undo center-fit: slice (or re-pad) the canvas back to cropped_shape
+        src_sl, dst_sl = [], []
+        for ax in range(3):
+            s, t = cropped_shape[ax], self.canvas[ax]
+            if s <= t:
+                off = (t - s) // 2
+                src_sl.append(slice(off, off + s))
+                dst_sl.append(slice(0, s))
+            else:
+                off = (s - t) // 2
+                src_sl.append(slice(0, t))
+                dst_sl.append(slice(off, off + t))
+        cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
+        cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
+        # undo bbox crop
+        out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
+        sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
+        out[sl] = cropped
+        return out
+
+    def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
+        return self.predict_arrays(case.image)
+
+    def predict_dir(
+        self, case_dir: str, output_path: Optional[str] = None
+    ) -> Tuple[str, PredictionStats]:
+        """Reference CLI shape: predict on a BraTS case directory, write the
+        segmentation NIfTI next to it (or at output_path)."""
+        case = load_case(case_dir, load_seg=False)
+        labels, stats = self.predict_case(case)
+        disk = internal_to_disk(labels).astype(np.uint8)
+        if output_path is None:
+            output_path = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
+        write_nifti(output_path, disk, like=case.header)
+        return output_path, stats

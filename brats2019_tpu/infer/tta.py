@@ -1,0 +1,46 @@
+"""8-way flip test-time augmentation (SURVEY.md C15).
+
+The reference loops the 2^3 axis-flip combinations per tile on the host and
+averages un-flipped probability maps. TPU-first: all 8 variants are stacked
+into one batch of 8 so a single conv3d forward fills the MXU; flips compile
+to free layout reversals. Flip set and averaging order are fixed so results
+are deterministic (SURVEY.md §7.3.4 mask-parity note).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# all 8 combinations, identity first; order is part of the spec
+FLIPS: Tuple[Tuple[bool, bool, bool], ...] = tuple(
+    itertools.product((False, True), repeat=3)
+)
+
+
+def flip_volume(x: jnp.ndarray, flags: Sequence[bool]) -> jnp.ndarray:
+    """Flip spatial axes 0..2 of (X, Y, Z, C) where flags are set."""
+    axes = [ax for ax, f in enumerate(flags) if f]
+    return jnp.flip(x, axis=axes) if axes else x
+
+
+def tta_probs(
+    apply_fn: Callable, params, tile: jnp.ndarray, enabled: bool = True
+) -> jnp.ndarray:
+    """Mean softmax probabilities over the 8 flip variants of one tile.
+
+    apply_fn(params, batch (N,X,Y,Z,C)) -> logits (N,X,Y,Z,K).
+    """
+    if not enabled:
+        logits = apply_fn(params, tile[None])[0]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    tiles = jnp.stack([flip_volume(tile, f) for f in FLIPS])
+    logits = apply_fn(params, tiles)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    unflipped = jnp.stack(
+        [flip_volume(probs[i], FLIPS[i]) for i in range(len(FLIPS))]
+    )
+    return unflipped.mean(axis=0)

@@ -1,0 +1,99 @@
+"""Two-stage coarse-to-fine cascade with on-device crop handoff
+(SURVEY.md C8; BASELINE.json:9 "coarse 64^3 localization -> fine 128^3
+refinement crop").
+
+The reference runs stage 1 on a downsampled volume on the GPU, pulls the
+argmax to the host, computes a tumor bounding box in NumPy, crops, and feeds
+stage 2. Here the ENTIRE cascade — downsample, coarse forward, tumor-bbox
+extraction (masked index reductions), clamped fixed-size ROI crop, fine
+sliding-window sweep with TTA, and paste-back — is one jitted XLA program:
+the handoff never leaves the device, and every shape is static (the ROI is a
+fixed-size window clamped inside the canvas; SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import InferenceConfig
+from ..data.preprocess import centered_crop_start, mask_bbox_center, zscore
+from ..ops.resize import resize_trilinear
+from ..infer.tiling import blend_weight, sliding_window_probs, tile_origins
+from ..infer.tta import tta_probs
+
+
+def make_predict_fn(
+    fine_apply: Callable,
+    cfg: InferenceConfig,
+    canvas: Tuple[int, int, int],
+    num_classes: int = 4,
+    coarse_apply: Optional[Callable] = None,
+):
+    """Build the jitted whole-canvas predictor.
+
+    fine_apply/coarse_apply: (params, batch) -> logits.
+    Returns predict(params_fine, params_coarse_or_None, image (X,Y,Z,C) raw
+    float32) -> (labels uint8 (X,Y,Z), probs (X,Y,Z,K)).
+
+    The canvas is the static padded shape every case is fitted to
+    (host-side bbox crop + center pad; see infer/predictor.py).
+    """
+    tile = tuple(cfg.tile)
+    use_cascade = cfg.cascade and coarse_apply is not None
+    weight_np = blend_weight(tile, cfg.blend, cfg.gaussian_sigma_frac)
+
+    roi = tuple(min(r, c) for r, c in zip(cfg.roi_shape, canvas))
+    sweep_shape = roi if use_cascade else canvas
+    origins_np = tile_origins(sweep_shape, tile, cfg.overlap)
+
+    def fine_tile_probs(params, patch):
+        return tta_probs(fine_apply, params, patch, enabled=cfg.tta_flips)
+
+    def predict(params_fine, params_coarse, image):
+        image = zscore(image.astype(jnp.float32))
+        weight = jnp.asarray(weight_np)
+
+        if use_cascade:
+            # stage 1: whole volume at low resolution
+            coarse_in = resize_trilinear(image, cfg.coarse_shape)
+            logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
+            tumor = jnp.argmax(logits_c, axis=-1) > 0
+            center_c = mask_bbox_center(tumor)
+            # map coarse-grid center back to canvas coordinates
+            scale = jnp.array(
+                [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
+            )
+            center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
+            start = centered_crop_start(center, roi, canvas)
+            o = (start[0], start[1], start[2], jnp.int32(0))
+            region = jax.lax.dynamic_slice(
+                image, o, roi + (image.shape[-1],)
+            )
+        else:
+            region = image
+
+        probs_r = sliding_window_probs(
+            lambda p: fine_tile_probs(params_fine, p),
+            region,
+            origins_np,
+            tile,
+            weight,
+            num_classes,
+        )
+
+        if use_cascade:
+            # paste ROI probs into a background-certain canvas
+            bg = jnp.zeros(canvas + (num_classes,), jnp.float32)
+            bg = bg.at[..., 0].set(1.0)
+            probs = jax.lax.dynamic_update_slice(bg, probs_r, o)
+        else:
+            probs = probs_r
+
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        return labels, probs
+
+    return jax.jit(predict)

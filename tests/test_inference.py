@@ -1,0 +1,192 @@
+"""Sliding-window tiling, blending, TTA, cascade predict (SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brats2019_tpu.configs.presets import (
+    ExperimentConfig,
+    InferenceConfig,
+    TrainConfig,
+)
+from brats2019_tpu.data.synthetic import make_case_arrays
+from brats2019_tpu.infer import tiling, tta
+from brats2019_tpu.infer.postprocess import (
+    filter_small_components_np,
+    postprocess_labels,
+    suppress_tiny_et_np,
+)
+from brats2019_tpu.infer.predictor import Predictor
+from brats2019_tpu.models import UNet3D, UNetConfig
+
+
+# ---------------------------------------------------------------- tiling --
+
+def test_tile_origins_cover_volume():
+    origins = tiling.tile_origins((64, 48, 32), (32, 32, 32), overlap=0.5)
+    covered = np.zeros((64, 48, 32), dtype=bool)
+    for o in origins:
+        covered[o[0] : o[0] + 32, o[1] : o[1] + 32, o[2] : o[2] + 32] = True
+    assert covered.all()
+    # flush final tile present on the long axis
+    assert (origins[:, 0] == 32).any()
+
+
+def test_tile_origins_tile_bigger_than_volume():
+    origins = tiling.tile_origins((16, 16, 16), (32, 32, 32))
+    np.testing.assert_array_equal(origins, [[0, 0, 0]])
+
+
+def test_blend_weight_modes():
+    g = tiling.blend_weight((8, 8, 8), "gaussian", 0.125)
+    assert g.shape == (8, 8, 8, 1)
+    assert g.max() == 1.0
+    center = g[3:5, 3:5, 3:5].min()
+    assert center > g[0, 0, 0, 0]
+    u = tiling.blend_weight((8, 8, 8), "softmax")
+    assert (u == 1.0).all()
+
+
+def test_sliding_window_constant_function():
+    # a "model" that returns one-hot class 2 everywhere: blending any number
+    # of overlapping tiles must still give exactly class 2 with prob 1
+    def tile_probs(patch):
+        p = jnp.zeros(patch.shape[:3] + (4,), jnp.float32)
+        return p.at[..., 2].set(1.0)
+
+    vol = jnp.zeros((24, 16, 16, 4))
+    origins = tiling.tile_origins((24, 16, 16), (8, 8, 8), overlap=0.5)
+    w = jnp.asarray(tiling.blend_weight((8, 8, 8), "gaussian"))
+    probs = tiling.sliding_window_probs(
+        tile_probs, vol, origins, (8, 8, 8), w, 4
+    )
+    np.testing.assert_allclose(np.asarray(probs[..., 2]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_sliding_window_position_dependent():
+    # model echoes the patch's own intensity -> blended output must
+    # reconstruct the volume's channel 0 (weighted average of identical
+    # values is the value)
+    def tile_probs(patch):
+        v = patch[..., :1]
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(24, 16, 8, 4)), jnp.float32)
+    origins = tiling.tile_origins((24, 16, 8), (8, 8, 8), overlap=0.5)
+    w = jnp.asarray(tiling.blend_weight((8, 8, 8), "gaussian"))
+    probs = tiling.sliding_window_probs(tile_probs, x, origins, (8, 8, 8), w, 4)
+    np.testing.assert_allclose(
+        np.asarray(probs[..., 0]), np.asarray(x[..., 0]), atol=1e-4
+    )
+
+
+# ------------------------------------------------------------------- tta --
+
+def test_flip_volume_roundtrip():
+    x = jnp.asarray(np.arange(2 * 3 * 4 * 2).reshape(2, 3, 4, 2), jnp.float32)
+    for f in tta.FLIPS:
+        y = tta.flip_volume(tta.flip_volume(x, f), f)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_tta_equivariant_model_matches_single():
+    # pointwise model (flip-equivariant): TTA mean == single forward
+    def apply_fn(params, batch):
+        return jnp.stack(
+            [batch[..., 0], -batch[..., 0], batch[..., 1], -batch[..., 1]],
+            axis=-1,
+        )
+
+    tile = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 8, 8, 4)), jnp.float32
+    )
+    single = tta.tta_probs(apply_fn, None, tile, enabled=False)
+    averaged = tta.tta_probs(apply_fn, None, tile, enabled=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(averaged), atol=1e-5)
+
+
+# ---------------------------------------------------------- postprocess --
+
+def test_filter_small_components():
+    labels = np.zeros((16, 16, 16), dtype=np.uint8)
+    labels[2:8, 2:8, 2:8] = 2        # big component (216 voxels)
+    labels[12, 12, 12] = 1           # speck
+    out = filter_small_components_np(labels, min_voxels=10)
+    assert out[12, 12, 12] == 0
+    assert (out[2:8, 2:8, 2:8] == 2).all()
+
+
+def test_suppress_tiny_et():
+    labels = np.zeros((8, 8, 8), dtype=np.uint8)
+    labels[0, 0, :4] = 3
+    out = suppress_tiny_et_np(labels, et_min_voxels=10)
+    assert (out[0, 0, :4] == 1).all()
+    labels2 = np.zeros((8, 8, 8), dtype=np.uint8)
+    labels2[:4, :4, :4] = 3
+    out2 = suppress_tiny_et_np(labels2, et_min_voxels=10)
+    assert (out2[:4, :4, :4] == 3).all()
+
+
+# ------------------------------------------------------------- predictor --
+
+UCFG = UNetConfig(levels=2, base_features=4, compute_dtype="float32")
+
+
+def _make_exp(cascade: bool):
+    return ExperimentConfig(
+        name="t",
+        unet=UCFG,
+        coarse_unet=UCFG if cascade else None,
+        train=TrainConfig(pool_shape=(32, 32, 32)),
+        infer=InferenceConfig(
+            tile=(16, 16, 16),
+            cascade=cascade,
+            tta_flips=True,
+            coarse_shape=(16, 16, 16),
+            roi_shape=(24, 24, 24),
+            min_component_voxels=0,
+            et_min_voxels=0,
+            compute_dtype="float32",
+        ),
+    )
+
+
+def _init_params(key=0):
+    model = UNet3D(UCFG)
+    return model.init(jax.random.PRNGKey(key), jnp.zeros((1, 16, 16, 16, 4)))
+
+
+@pytest.mark.parametrize("cascade", [False, True])
+def test_predictor_end_to_end(cascade):
+    exp = _make_exp(cascade)
+    params = _init_params()
+    coarse = _init_params(1) if cascade else None
+    pred = Predictor(exp, params, coarse)
+    image, _ = make_case_arrays(seed=5, shape=(40, 36, 28))
+    labels, stats = pred.predict_arrays(image)
+    assert labels.shape == (40, 36, 28)
+    assert labels.dtype == np.uint8
+    assert set(np.unique(labels)) <= {0, 1, 2, 3}
+    assert stats.total_s > 0
+    # background outside the brain must stay 0 (z-score keeps zeros,
+    # postprocess/uncrop fill with 0)
+    brain = (image != 0).any(-1)
+    corner = labels[~brain]
+    # untrained net may predict junk inside the canvas region; but strictly
+    # outside the bbox everything must be 0
+    assert labels[0, 0, 0] == 0 and corner.shape[0] > 0
+
+
+def test_predict_dir_writes_nifti(tmp_path):
+    from brats2019_tpu.data import synthetic
+    from brats2019_tpu.utils.nifti import read_nifti
+
+    d = synthetic.write_case(str(tmp_path / "BraTS19_X_1"), shape=(32, 32, 24))
+    exp = _make_exp(False)
+    pred = Predictor(exp, _init_params())
+    out, stats = pred.predict_dir(d)
+    seg, hdr = read_nifti(out, apply_scaling=False)
+    assert seg.shape == (32, 32, 24)
+    assert set(np.unique(seg)) <= {0, 1, 2, 4}  # disk labels
