@@ -56,6 +56,9 @@ class TrainConfig:
 
 @dataclasses.dataclass(frozen=True)
 class InferenceConfig:
+    # static padded canvas every case is fitted to (None -> train.pool_shape);
+    # (192, 224, 160) covers any real BraTS brain bbox with margin
+    canvas: Optional[Tuple[int, int, int]] = (192, 224, 160)
     tile: Tuple[int, int, int] = (128, 128, 128)
     overlap: float = 0.5             # fraction of tile overlapped
     blend: str = "gaussian"          # "gaussian" | "softmax" (uniform prob avg)
@@ -100,7 +103,7 @@ PRESETS = {
             checkpoint_every=0,
         ),
         infer=InferenceConfig(
-            tile=(64, 64, 64), tta_flips=False, cascade=False,
+            canvas=None, tile=(64, 64, 64), tta_flips=False, cascade=False,
             compute_dtype="float32",
         ),
         workdir="runs/smoke",

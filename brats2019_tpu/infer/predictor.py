@@ -53,7 +53,7 @@ class Predictor:
         canvas: Optional[Tuple[int, int, int]] = None,
     ):
         self.exp = exp
-        self.canvas = tuple(canvas or exp.train.pool_shape)
+        self.canvas = tuple(canvas or exp.infer.canvas or exp.train.pool_shape)
         fine_model = UNet3D(exp.unet)
         fine_apply = lambda p, x: fine_model.apply(p, x)
         coarse_apply = None

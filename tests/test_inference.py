@@ -141,6 +141,7 @@ def _make_exp(cascade: bool):
         coarse_unet=UCFG if cascade else None,
         train=TrainConfig(pool_shape=(32, 32, 32)),
         infer=InferenceConfig(
+            canvas=None,
             tile=(16, 16, 16),
             cascade=cascade,
             tta_flips=True,

@@ -39,7 +39,9 @@ def make_exp(tmpdir, steps=4):
             checkpoint_every=2,
             pool_refresh_every=2,
         ),
-        infer=InferenceConfig(tile=(16, 16, 16), cascade=False, tta_flips=False),
+        infer=InferenceConfig(
+            canvas=None, tile=(16, 16, 16), cascade=False, tta_flips=False
+        ),
         workdir=str(tmpdir / "run"),
     )
 
