@@ -27,6 +27,15 @@ def log(*a):
 
 def main() -> int:
     import jax
+
+    # persistent compile cache: the cascade+TTA program takes minutes to
+    # compile over the remote-compile tunnel; cache across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,17 +76,12 @@ def main() -> int:
         labels, stats = predictor.predict_arrays(cases[i % len(cases)])
         log(f"  warmup {i}: device={stats.device_s:.3f}s total={stats.total_s:.3f}s")
 
-    log("bench: timing ...")
+    log("bench: timing (pipelined serving path) ...")
+    stream = [cases[i % len(cases)] for i in range(n_iters)]
     t0 = time.time()
-    per_case = []
-    for i in range(n_iters):
-        labels, stats = predictor.predict_arrays(cases[i % len(cases)])
-        per_case.append(stats.total_s)
-        log(
-            f"  iter {i}: load={stats.load_s:.3f}s device={stats.device_s:.3f}s "
-            f"post={stats.post_s:.3f}s"
-        )
+    results = predictor.predict_arrays_many(stream)
     wall = time.time() - t0
+    assert len(results) == n_iters and all(r.shape == (240, 240, 155) for r in results)
     vps = n_iters / wall
     log(f"bench: {vps:.4f} volumes/sec (wall {wall:.2f}s for {n_iters})")
 

@@ -64,6 +64,7 @@ class InferenceConfig:
     blend: str = "gaussian"          # "gaussian" | "softmax" (uniform prob avg)
     gaussian_sigma_frac: float = 0.125
     tta_flips: bool = True           # 8-way flip TTA (C15)
+    tta_precision: str = "bfloat16"  # bf16 flip/prob storage (PERF.md); or "float32"
     min_component_voxels: int = 16   # CC filter threshold (C16)
     et_min_voxels: int = 32          # relabel tiny ET -> NCR (BraTS trick)
     cascade: bool = True
@@ -82,8 +83,17 @@ class ExperimentConfig:
     workdir: str = "runs/default"
 
 
-_FULL_UNET = UNetConfig(levels=5, base_features=24, max_features=256)
-_COARSE_UNET = UNetConfig(levels=4, base_features=16, max_features=128)
+# TPU-first flagship: space-to-depth stem so every conv runs at 64-320
+# channels (v5e: 32ch convs = 12 TFLOP/s, 128ch = 104, 256ch = 169 — PERF.md);
+# same capability surface as the reference's plain 5-level net.
+_FULL_UNET = UNetConfig(
+    levels=4, base_features=64, max_features=320, stem_downsample=2
+)
+_COARSE_UNET = UNetConfig(
+    levels=3, base_features=48, max_features=192, stem_downsample=2
+)
+# reference-parity topology (plain full-res stem, as in the upstream repo)
+_PARITY_UNET = UNetConfig(levels=5, base_features=24, max_features=256)
 
 PRESETS = {
     # config 1 (BASELINE.json:7): tiny end-to-end slice, CPU-able
@@ -133,6 +143,15 @@ PRESETS = {
         coarse_unet=_COARSE_UNET,
         infer=InferenceConfig(cascade=True, tta_flips=True),
         workdir="runs/inference",
+    ),
+    # reference-parity topology (plain stem) — for golden-parity comparisons
+    "reference_parity": ExperimentConfig(
+        name="reference_parity",
+        unet=_PARITY_UNET,
+        coarse_unet=None,
+        train=TrainConfig(),
+        infer=InferenceConfig(cascade=False),
+        workdir="runs/reference_parity",
     ),
     # config 5 (BASELINE.json:11): DP over a slice; mesh size from runtime
     "dp_v4_32": ExperimentConfig(

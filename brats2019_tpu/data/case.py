@@ -79,23 +79,38 @@ def discover_cases(root: str) -> List[str]:
     return out
 
 
-def load_case(case_dir: str, *, load_seg: bool = True) -> Case:
+def load_case(case_dir: str, *, load_seg: bool = True, backend: str = "auto") -> Case:
     """Load 4 modalities (+ optional seg) from a case directory.
+
+    backend: "auto" uses the native threaded decoder (csrc/fastnifti) when
+    built, else the pure-NumPy reader; "python" forces the NumPy path.
 
     The returned header is the t1 modality's — used to write the predicted
     segmentation with a matching affine (C1 "preserving header/affine").
     """
     paths = modality_paths(case_dir)
-    vols = []
+    image = None
     header: Optional[NiftiHeader] = None
-    for p in paths:
-        arr, hdr = read_nifti(p, dtype=np.float32)
-        if header is None:
-            header = hdr
-        if arr.shape != vols[0].shape if vols else False:
-            raise ValueError(f"Inconsistent modality shapes in {case_dir}")
-        vols.append(arr)
-    image = np.stack(vols, axis=-1)  # (X, Y, Z, 4)
+    if backend in ("auto", "native"):
+        from ..utils import nifti_fast
+        from ..utils.nifti import read_header
+
+        res = nifti_fast.load_volumes_fast(paths) if nifti_fast.available() else None
+        if res is not None:
+            image, _meta = res
+            header = read_header(paths[0])
+        elif backend == "native":
+            raise RuntimeError("native loader requested but unavailable")
+    if image is None:
+        vols = []
+        for p in paths:
+            arr, hdr = read_nifti(p, dtype=np.float32)
+            if header is None:
+                header = hdr
+            if vols and arr.shape != vols[0].shape:
+                raise ValueError(f"Inconsistent modality shapes in {case_dir}")
+            vols.append(arr)
+        image = np.stack(vols, axis=-1)  # (X, Y, Z, 4)
 
     seg = None
     if load_seg:

@@ -28,19 +28,33 @@ def flip_volume(x: jnp.ndarray, flags: Sequence[bool]) -> jnp.ndarray:
 
 
 def tta_probs(
-    apply_fn: Callable, params, tile: jnp.ndarray, enabled: bool = True
+    apply_fn: Callable,
+    params,
+    tile: jnp.ndarray,
+    enabled: bool = True,
+    precision: str = "float32",
 ) -> jnp.ndarray:
     """Mean softmax probabilities over the 8 flip variants of one tile.
 
     apply_fn(params, batch (N,X,Y,Z,C)) -> logits (N,X,Y,Z,K).
+
+    precision="bfloat16" stores the flipped inputs and per-flip probability
+    maps in bf16 (softmax itself is f32, the 8-way mean accumulates in f32).
+    The small-C channel-minor f32 tensors around the flips are the measured
+    hot spot on TPU (259 ms -> 110 ms per 128^3 tile, max prob delta ~1e-3;
+    PERF.md) — bf16 is the default in InferenceConfig; use float32 for
+    bit-parity testing.
     """
     if not enabled:
         logits = apply_fn(params, tile[None])[0]
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    store_dt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    tile = tile.astype(store_dt)
     tiles = jnp.stack([flip_volume(tile, f) for f in FLIPS])
     logits = apply_fn(params, tiles)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    unflipped = jnp.stack(
-        [flip_volume(probs[i], FLIPS[i]) for i in range(len(FLIPS))]
-    )
-    return unflipped.mean(axis=0)
+    probs = probs.astype(store_dt)
+    acc = jnp.zeros(tile.shape[:3] + (probs.shape[-1],), jnp.float32)
+    for i, f in enumerate(FLIPS):
+        acc = acc + flip_volume(probs[i], f).astype(jnp.float32)
+    return acc * (1.0 / len(FLIPS))

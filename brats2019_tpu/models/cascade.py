@@ -51,7 +51,10 @@ def make_predict_fn(
     origins_np = tile_origins(sweep_shape, tile, cfg.overlap)
 
     def fine_tile_probs(params, patch):
-        return tta_probs(fine_apply, params, patch, enabled=cfg.tta_flips)
+        return tta_probs(
+            fine_apply, params, patch,
+            enabled=cfg.tta_flips, precision=cfg.tta_precision,
+        )
 
     def predict(params_fine, params_coarse, image):
         image = zscore(image.astype(jnp.float32))

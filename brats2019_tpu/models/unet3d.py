@@ -33,6 +33,12 @@ class UNetConfig:
     max_features: int = 256
     activation: str = "relu"
     compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+    # TPU-first stem: space-to-depth by this factor before the first conv
+    # (and sub-pixel depth-to-space at the head). Trades spatial extent for
+    # channel width so no conv runs below MXU-efficient channel counts —
+    # measured on v5e: 32ch convs reach 12 TFLOP/s, 128ch 104, 256ch 169
+    # (PERF.md). 1 = plain reference-parity topology.
+    stem_downsample: int = 1
 
     def feats(self, level: int) -> int:
         return min(self.base_features * (2 ** level), self.max_features)
@@ -44,11 +50,34 @@ class UNetConfig:
     @property
     def min_spatial(self) -> int:
         """Input spatial dims must be divisible by this."""
-        return 2 ** (self.levels - 1)
+        return self.stem_downsample * 2 ** (self.levels - 1)
+
+
+def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(N, D, H, W, C) -> (N, D/r, H/r, W/r, C*r^3); free layout shuffle."""
+    n, d, h, w, c = x.shape
+    x = x.reshape(n, d // r, r, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(n, d // r, h // r, w // r, c * r * r * r)
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(N, D, H, W, C*r^3) -> (N, D*r, H*r, W*r, C); inverse of the above."""
+    n, d, h, w, c2 = x.shape
+    c = c2 // (r * r * r)
+    x = x.reshape(n, d, h, w, r, r, r, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(n, d * r, h * r, w * r, c)
 
 
 class UNet3D(nn.Module):
-    """Encoder-decoder with skip connections; returns logits (N,D,H,W,K)."""
+    """Encoder-decoder with skip connections; returns logits (N,D,H,W,K).
+
+    With ``stem_downsample=r>1``, the input is space-to-depth'd by r before
+    the first conv and the head emits ``num_classes * r^3`` channels followed
+    by depth-to-space (sub-pixel head) — full-resolution logits with every
+    conv at MXU-efficient widths.
+    """
 
     config: UNetConfig = UNetConfig()
 
@@ -57,6 +86,9 @@ class UNet3D(nn.Module):
         cfg = self.config
         dt = cfg.dtype
         x = x.astype(dt)
+        r = cfg.stem_downsample
+        if r > 1:
+            x = space_to_depth(x, r)
 
         # encoder
         skips = []
@@ -76,12 +108,14 @@ class UNet3D(nn.Module):
                 cfg.feats(lvl), activation=cfg.activation, compute_dtype=dt
             )(x)
 
-        # 1x1x1 head -> logits in fp32 (softmax/loss stability)
+        # head -> logits in fp32 (softmax/loss stability); sub-pixel when r>1
         logits = nn.Conv(
-            cfg.num_classes,
+            cfg.num_classes * r ** 3,
             kernel_size=(1, 1, 1),
             dtype=jnp.float32,
             param_dtype=jnp.float32,
             name="head",
         )(x.astype(jnp.float32))
+        if r > 1:
+            logits = depth_to_space(logits, r)
         return logits

@@ -1,0 +1,59 @@
+"""Device CC vs scipy oracle (SURVEY.md §7.3.3)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from brats2019_tpu.infer.postprocess import (
+    filter_small_components_np,
+    postprocess_labels,
+)
+from brats2019_tpu.ops.connected_components import (
+    filter_small_components_device,
+    label_components,
+)
+
+
+def _random_blobs(seed, shape=(24, 24, 24), p=0.12):
+    rng = np.random.default_rng(seed)
+    return rng.random(shape) < p
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_labels_match_scipy_partition(seed):
+    import jax.numpy as jnp
+
+    fg = _random_blobs(seed)
+    ours = np.asarray(label_components(jnp.asarray(fg)))
+    ref, n = ndimage.label(fg, structure=np.ones((3, 3, 3), bool))
+    assert (ours > 0).sum() == fg.sum()
+    assert (ours[~fg] == 0).all()
+    # same partition: our ids constant within each scipy component, and
+    # distinct across touching... (non-touching) components
+    ids = {}
+    for comp_id in range(1, n + 1):
+        vals = np.unique(ours[ref == comp_id])
+        assert len(vals) == 1, f"component {comp_id} split"
+        ids[comp_id] = vals[0]
+    assert len(set(ids.values())) == n, "components merged"
+
+
+def test_device_filter_matches_scipy_filter():
+    labels = np.zeros((20, 20, 20), dtype=np.uint8)
+    labels[2:10, 2:10, 2:10] = 2      # 512 voxels
+    labels[15, 15, 15] = 1            # speck
+    labels[0, 0, 0:3] = 3             # 3 voxels
+    ref = filter_small_components_np(labels, min_voxels=8)
+    got = filter_small_components_device(labels, min_voxels=8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_postprocess_device_backend():
+    labels = np.zeros((16, 16, 16), dtype=np.uint8)
+    labels[4:12, 4:12, 4:12] = 2
+    labels[0, 0, 0] = 1
+    out = postprocess_labels(
+        labels, min_component_voxels=4, et_min_voxels=0, backend="device"
+    )
+    assert out[0, 0, 0] == 0
+    assert (out[4:12, 4:12, 4:12] == 2).all()

@@ -55,6 +55,35 @@ def test_grads_finite_and_nonzero():
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+def test_space_to_depth_roundtrip():
+    from brats2019_tpu.models.unet3d import depth_to_space, space_to_depth
+
+    x = jnp.asarray(np.arange(2 * 8 * 8 * 8 * 3).reshape(2, 8, 8, 8, 3), jnp.float32)
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 4, 4, 24)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y, 2)), np.asarray(x))
+
+
+def test_stem_downsample_model():
+    cfg = UNetConfig(
+        levels=2, base_features=8, stem_downsample=2, compute_dtype="float32"
+    )
+    model = UNet3D(cfg)
+    x = jnp.zeros((1, 16, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 16, 16, 16, 4)  # sub-pixel head restores full res
+    assert cfg.min_spatial == 4
+
+    # grads flow
+    def loss_fn(p):
+        logits = model.apply(p, jnp.ones((1, 8, 8, 8, 4)))
+        return jnp.sum(logits ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
 def test_param_count_reasonable():
     model = UNet3D(UNetConfig(levels=4, base_features=16))
     x = jnp.zeros((1, 32, 32, 32, 4))
