@@ -1,0 +1,89 @@
+"""Spatial sharding (halo-exchange conv, distributed tile sweep) vs
+single-device oracles, on the 8-virtual-CPU mesh (SURVEY.md §2.2, §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brats2019_tpu.infer.tiling import (
+    blend_weight,
+    sliding_window_probs,
+    tile_origins,
+)
+from brats2019_tpu.parallel.mesh import make_mesh
+from brats2019_tpu.parallel.spatial import (
+    distributed_tile_sweep,
+    make_sharded_conv3d,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_mesh()
+
+
+def test_sharded_conv_matches_unsharded(env):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (32, 8, 8, 3))  # X=32 shards over 8 devices
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 3, 5)) * 0.2
+
+    ref = jax.lax.conv_general_dilated(
+        x[None], w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+    fn = make_sharded_conv3d(env)
+    got = fn(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_conv_1x1_kernel_no_halo(env):
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 4, 4, 2))
+    w = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 1, 2, 2))
+    ref = jax.lax.conv_general_dilated(
+        x[None], w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+    got = make_sharded_conv3d(env)(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_distributed_tile_sweep_matches_single_device(env):
+    # position-dependent "model": echoes intensities, so blending errors
+    # anywhere show up
+    def tile_probs(patch):
+        v = patch[..., :1]
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    vol_shape = (24, 16, 8)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=vol_shape + (4,)), jnp.float32
+    )
+    origins = tile_origins(vol_shape, (8, 8, 8), overlap=0.5)
+    w = blend_weight((8, 8, 8), "gaussian")
+
+    ref = sliding_window_probs(
+        tile_probs, x, origins, (8, 8, 8), jnp.asarray(w), 4
+    )
+    fn = distributed_tile_sweep(
+        tile_probs, env, vol_shape, origins, (8, 8, 8), w, 4
+    )
+    got = fn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_distributed_tile_sweep_pads_work_items(env):
+    # 3 tiles over 8 devices: padding must not corrupt the blend
+    def tile_probs(patch):
+        p = jnp.zeros(patch.shape[:3] + (4,), jnp.float32)
+        return p.at[..., 1].set(1.0)
+
+    vol_shape = (12, 8, 8)
+    x = jnp.zeros(vol_shape + (4,), jnp.float32)
+    origins = tile_origins(vol_shape, (8, 8, 8), overlap=0.5)
+    assert origins.shape[0] < 8
+    w = blend_weight((8, 8, 8), "gaussian")
+    fn = distributed_tile_sweep(tile_probs, env, vol_shape, origins, (8, 8, 8), w, 4)
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got[..., 1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
