@@ -1,0 +1,105 @@
+"""``evaluate`` entry point (SURVEY.md C11 / §3.5).
+
+Usage:
+    python -m brats2019_tpu.cli.evaluate <root> [--preset cascade]
+        [--workdir DIR] [--use-existing] [--out metrics.json]
+
+Runs prediction over every case under <root> that has ground-truth labels
+(``*_seg``) and reports per-case and mean Dice for the BraTS regions
+WT/TC/ET — the offline stand-in for the official online evaluator [B].
+``--use-existing`` scores previously written ``*_pred`` files instead of
+re-predicting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..configs.presets import PRESETS
+from ..data.case import discover_cases, load_case, seg_path
+from ..data.constants import disk_to_internal
+from ..train.metrics import region_dice_np
+from .common import load_stage_params, resolve_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="brats2019_tpu.evaluate", description=__doc__)
+    p.add_argument("root", help="BraTS root (or one case dir) with *_seg labels")
+    p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--use-existing", action="store_true",
+                   help="score existing *_pred.nii.gz instead of predicting")
+    p.add_argument("--out", default=None, help="write JSON metrics here")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    exp = resolve_experiment(args)
+    cases = [d for d in discover_cases(args.root) if seg_path(d)]
+    if not cases:
+        print(f"error: no labelled cases under {args.root}", file=sys.stderr)
+        return 2
+
+    predictor = None
+    if not args.use_existing:
+        params_fine = load_stage_params(exp, "fine")
+        params_coarse = None
+        if exp.infer.cascade and exp.coarse_unet is not None:
+            try:
+                params_coarse = load_stage_params(exp, "coarse")
+            except FileNotFoundError:
+                import dataclasses
+
+                exp = dataclasses.replace(
+                    exp, infer=dataclasses.replace(exp.infer, cascade=False)
+                )
+        from ..infer.predictor import Predictor
+
+        predictor = Predictor(exp, params_fine, params_coarse)
+
+    per_case = {}
+    for d in cases:
+        case = load_case(d)
+        assert case.seg is not None
+        if args.use_existing:
+            from ..utils.nifti import read_nifti
+
+            pred_path = os.path.join(d, f"{case.name}_pred.nii.gz")
+            if not os.path.exists(pred_path):
+                print(f"warning: missing {pred_path}; skipping", file=sys.stderr)
+                continue
+            pred_disk, _ = read_nifti(pred_path, apply_scaling=False)
+            pred = disk_to_internal(pred_disk)
+        else:
+            pred, _ = predictor.predict_case(case)
+        d_scores = region_dice_np(pred, case.seg)
+        per_case[case.name] = {k: round(float(v), 5) for k, v in d_scores.items()}
+        print(f"[evaluate] {case.name}: " +
+              " ".join(f"{k}={v:.4f}" for k, v in d_scores.items()), flush=True)
+
+    if not per_case:
+        print("error: nothing evaluated", file=sys.stderr)
+        return 2
+    mean = {
+        k: round(float(np.mean([c[k] for c in per_case.values()])), 5)
+        for k in ("WT", "TC", "ET")
+    }
+    print(f"[evaluate] mean over {len(per_case)} case(s): " +
+          " ".join(f"{k}={v:.4f}" for k, v in mean.items()), flush=True)
+    result = {"mean": mean, "per_case": per_case, "n_cases": len(per_case)}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"[evaluate] wrote {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

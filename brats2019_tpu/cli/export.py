@@ -1,0 +1,56 @@
+"""``export`` entry point (SURVEY.md §5 checkpoint/export).
+
+Usage:
+    python -m brats2019_tpu.cli.export --preset cascade [--workdir DIR]
+        [--stage fine|coarse|all]
+
+Exports inference-only parameters from the stage checkpoints to
+``<workdir>/<stage>/params.npz`` — the flat, dependency-free interchange
+format the predict CLI loads fastest (no orbax restore machinery at serving
+time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..configs.presets import PRESETS
+from ..train.checkpoint import export_params
+from .common import load_stage_params, resolve_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="brats2019_tpu.export", description=__doc__)
+    p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    exp = resolve_experiment(args)
+    stages = []
+    if args.stage in ("all", "fine"):
+        stages.append("fine")
+    if args.stage in ("all", "coarse") and exp.coarse_unet is not None:
+        stages.append("coarse")
+    rc = 0
+    for stage in stages:
+        try:
+            params = load_stage_params(exp, stage)
+        except FileNotFoundError as e:
+            print(f"warning: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        out = os.path.join(exp.workdir, stage, "params.npz")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        export_params(out, params)
+        print(f"[export] {stage} -> {out}", flush=True)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

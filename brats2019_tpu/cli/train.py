@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 10-20")
+    p.add_argument("--distill-from", nargs="*", default=None, metavar="WORKDIR",
+                   help="teacher experiment workdir(s): train the fine stage "
+                        "as a KD student of those fine checkpoints (C18)")
+    p.add_argument("--kd-weight", type=float, default=1.0)
+    p.add_argument("--kd-temperature", type=float, default=2.0)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
     return p
 
 
@@ -63,7 +70,32 @@ def main(argv=None) -> int:
     print(f"[train] {len(train_dirs)} train / {len(val_dirs)} val cases; "
           f"preset={exp.name} workdir={exp.workdir}", flush=True)
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from ..train.loop import train_stage
+
+    kd_teachers = None
+    kd_config = None
+    if args.distill_from:
+        import dataclasses as _dc
+
+        from ..models.unet3d import UNet3D
+        from ..train.distill import KDConfig
+        from .common import load_stage_params
+
+        kd_teachers = []
+        for wd in args.distill_from:
+            t_exp = _dc.replace(exp, workdir=wd)
+            t_params = load_stage_params(t_exp, "fine")
+            t_model = UNet3D(exp.unet)
+            kd_teachers.append((lambda p, x, m=t_model: m.apply(p, x), t_params))
+        kd_config = KDConfig(
+            kd_weight=args.kd_weight, temperature=args.kd_temperature
+        )
+        print(f"[train] distilling from {len(kd_teachers)} teacher(s)", flush=True)
 
     stages = []
     if args.stage in ("all", "coarse") and exp.coarse_unet is not None:
@@ -77,6 +109,8 @@ def main(argv=None) -> int:
         res = train_stage(
             exp, train_dirs, stage=stage, val_dirs=val_dirs, env=env,
             profile=args.profile,
+            kd_teachers=kd_teachers if stage == "fine" else None,
+            kd_config=kd_config,
         )
         print(f"[train] stage {stage} done: {res.final_metrics}", flush=True)
     return 0

@@ -75,6 +75,8 @@ def train_stage(
     val_dirs: Sequence[str] = (),
     env: Optional[MeshEnv] = None,
     profile: bool = False,
+    kd_teachers=None,  # [(apply_fn, params), ...] -> distillation (C18)
+    kd_config=None,
 ) -> StageResult:
     """Train one stage to completion (or resume+continue); returns params."""
     env = env or make_mesh()
@@ -95,7 +97,19 @@ def train_stage(
 
     model, params, opt_state = init_stage(unet_cfg, cfg, env)
     apply_fn = lambda p, x: model.apply(p, x)
-    train_step = make_train_step(apply_fn, cfg, env)
+    if kd_teachers:
+        from .distill import KDConfig, make_kd_train_step
+
+        train_step = make_kd_train_step(
+            apply_fn,
+            [t[0] for t in kd_teachers],
+            [jax.device_put(t[1], env.replicated()) for t in kd_teachers],
+            cfg,
+            kd_config or KDConfig(),
+            env,
+        )
+    else:
+        train_step = make_train_step(apply_fn, cfg, env)
     eval_step = make_eval_step(apply_fn)
 
     ckpt = CheckpointManager(workdir, keep=cfg.keep_checkpoints)
