@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     exp = resolve_experiment(args)
     cases = [d for d in discover_cases(args.root) if seg_path(d)]
     if not cases:

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     exp = resolve_experiment(args)
     infer = exp.infer
     if args.no_tta:

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax(debug_nans=args.debug_nans)
     initialize_distributed()
     exp = resolve_experiment(args)
 
@@ -69,11 +72,6 @@ def main(argv=None) -> int:
     train_dirs = cases[n_val:] or cases
     print(f"[train] {len(train_dirs)} train / {len(val_dirs)} val cases; "
           f"preset={exp.name} workdir={exp.workdir}", flush=True)
-
-    if args.debug_nans:
-        import jax
-
-        jax.config.update("jax_debug_nans", True)
 
     from ..train.loop import train_stage
 

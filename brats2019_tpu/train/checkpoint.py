@@ -96,9 +96,7 @@ class CheckpointManager:
         if not os.path.exists(best_path):
             return None
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            best_path, args=ocp.args.StandardRestore({"params": params_like, "step": 0})
-        )
+        restored = ckptr.restore(best_path, {"params": params_like, "step": 0})
         return restored["params"]
 
     def close(self) -> None:
