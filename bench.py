@@ -45,7 +45,7 @@ def main() -> int:
     from brats2019_tpu.models import UNet3D
 
     n_warmup = int(os.environ.get("BENCH_WARMUP", "2"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "6"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     preset = os.environ.get("BENCH_PRESET", "inference")
 
     log(f"bench: devices={jax.devices()} preset={preset}")

@@ -67,9 +67,18 @@ class InferenceConfig:
     tta_precision: str = "bfloat16"  # bf16 flip/prob storage (PERF.md); or "float32"
     min_component_voxels: int = 16   # CC filter threshold (C16)
     et_min_voxels: int = 32          # relabel tiny ET -> NCR (BraTS trick)
+    # where C16 postprocessing runs: "host" (scipy, overlapped with device
+    # work in the pipelined serving path) or "device" (CC label propagation
+    # + bincount folded into the predict program — fully host-free, but the
+    # TPU scatter-based histogram measured ~10x slower than host scipy on
+    # this chip; use only when the host is the hard bottleneck)
+    postproc: str = "host"
     cascade: bool = True
     coarse_shape: Tuple[int, int, int] = (96, 112, 80)  # stage-1 grid
-    roi_shape: Tuple[int, int, int] = (160, 192, 160)   # stage-2 crop
+    # stage-2 crop: 128^3 single-tile refinement, matching the reference's
+    # "fine 128^3 refinement crop" (BASELINE.json:9); enlarge for tumors
+    # bigger than the tile (sliding window then covers the ROI)
+    roi_shape: Tuple[int, int, int] = (128, 128, 128)
     compute_dtype: str = "bfloat16"
 
 

@@ -94,11 +94,12 @@ class Predictor:
         labels_c = np.asarray(jax.device_get(labels_c))
         t2 = time.time()
         labels = self._uncrop(labels_c, cropped_shape, bbox)
-        labels = postprocess_labels(
-            labels,
-            min_component_voxels=self.exp.infer.min_component_voxels,
-            et_min_voxels=self.exp.infer.et_min_voxels,
-        )
+        if self.exp.infer.postproc != "device":  # device path did C16 in-graph
+            labels = postprocess_labels(
+                labels,
+                min_component_voxels=self.exp.infer.min_component_voxels,
+                et_min_voxels=self.exp.infer.et_min_voxels,
+            )
         t3 = time.time()
         return labels, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
 
@@ -132,6 +133,8 @@ class Predictor:
     def _finish(self, labels_c_dev, cropped_shape, bbox) -> np.ndarray:
         labels_c = np.asarray(jax.device_get(labels_c_dev))
         labels = self._uncrop(labels_c, cropped_shape, bbox)
+        if self.exp.infer.postproc == "device":
+            return labels
         return postprocess_labels(
             labels,
             min_component_voxels=self.exp.infer.min_component_voxels,

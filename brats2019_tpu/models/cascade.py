@@ -88,15 +88,46 @@ def make_predict_fn(
             num_classes,
         )
 
+        labels_r = jnp.argmax(probs_r, axis=-1).astype(jnp.uint8)
+        if cfg.postproc == "device":
+            labels_r = _postprocess_device(
+                labels_r, cfg.min_component_voxels, cfg.et_min_voxels
+            )
+
         if use_cascade:
-            # paste ROI probs into a background-certain canvas
+            # paste ROI labels/probs into a background-certain canvas
             bg = jnp.zeros(canvas + (num_classes,), jnp.float32)
             bg = bg.at[..., 0].set(1.0)
             probs = jax.lax.dynamic_update_slice(bg, probs_r, o)
+            lbg = jnp.zeros(canvas, jnp.uint8)
+            labels = jax.lax.dynamic_update_slice(
+                lbg, labels_r, (start[0], start[1], start[2])
+            )
         else:
             probs = probs_r
-
-        labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            labels = labels_r
         return labels, probs
 
     return jax.jit(predict)
+
+
+def _postprocess_device(
+    labels: jnp.ndarray, min_component_voxels: int, et_min_voxels: int
+) -> jnp.ndarray:
+    """C16 postprocessing fused into the predict program: small-component
+    removal (26-connectivity label propagation) + tiny-ET suppression.
+    Runs on the ROI/canvas labels so the host only un-crops and writes."""
+    from ..ops.connected_components import component_sizes, label_components
+
+    if min_component_voxels > 1:
+        comp = label_components(labels > 0)
+        sizes = component_sizes(comp)
+        labels = jnp.where(sizes >= min_component_voxels, labels, 0).astype(
+            jnp.uint8
+        )
+    if et_min_voxels > 0:
+        et = labels == 3
+        n_et = jnp.sum(et)
+        relabel = (n_et > 0) & (n_et < et_min_voxels)
+        labels = jnp.where(relabel & et, jnp.uint8(1), labels)
+    return labels
