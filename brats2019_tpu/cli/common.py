@@ -22,6 +22,12 @@ def resolve_experiment(args) -> ExperimentConfig:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, steps=args.steps)
         )
+    for flag in ("checkpoint_every", "eval_every", "log_every"):
+        v = getattr(args, flag, None)
+        if v is not None:
+            exp = dataclasses.replace(
+                exp, train=dataclasses.replace(exp.train, **{flag: v})
+            )
     if getattr(args, "seed", None) is not None:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, seed=args.seed)

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
     p.add_argument("--val-frac", type=float, default=0.2)
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--workdir", default=None)
     p.add_argument("--profile", action="store_true",

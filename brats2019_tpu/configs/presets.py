@@ -105,6 +105,31 @@ _COARSE_UNET = UNetConfig(
 _PARITY_UNET = UNetConfig(levels=5, base_features=24, max_features=256)
 
 PRESETS = {
+    # minimal CI-scale config: 16^3 patches, 2-level net — for unit/fault
+    # tests and quick plumbing checks on the virtual CPU mesh
+    "unit": ExperimentConfig(
+        name="unit",
+        unet=UNetConfig(levels=2, base_features=4, max_features=8,
+                        compute_dtype="float32"),
+        coarse_unet=None,
+        train=TrainConfig(
+            patch=(16, 16, 16),
+            pool_shape=(32, 32, 32),
+            pool_cases_per_device=1,
+            batch_per_device=1,
+            steps=4,
+            warmup_steps=0,
+            log_every=1,
+            eval_every=0,
+            checkpoint_every=0,
+            pool_refresh_every=2,
+        ),
+        infer=InferenceConfig(
+            canvas=None, tile=(16, 16, 16), tta_flips=False, cascade=False,
+            compute_dtype="float32",
+        ),
+        workdir="runs/unit",
+    ),
     # config 1 (BASELINE.json:7): tiny end-to-end slice, CPU-able
     "smoke": ExperimentConfig(
         name="smoke",
