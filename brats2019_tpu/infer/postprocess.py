@@ -28,20 +28,35 @@ def filter_small_components_np(
     labels: np.ndarray, min_voxels: int
 ) -> np.ndarray:
     """Zero out connected foreground (any class) components smaller than
-    ``min_voxels``. 26-connectivity on the whole-tumor mask."""
+    ``min_voxels``. 26-connectivity on the whole-tumor mask.
+
+    Labeling runs on the foreground bounding box only — the tumor occupies a
+    small fraction of the 240^3 volume, and this is on the serving host's
+    critical path (PERF.md)."""
     if min_voxels <= 1:
         return labels
     from scipy import ndimage
 
     fg = labels > 0
-    comp, n = ndimage.label(fg, structure=_STRUCT26)
+    if not fg.any():
+        return labels
+    sl = tuple(
+        slice(int(idx.min()), int(idx.max()) + 1)
+        for idx in (np.where(fg.any(axis=(1, 2)))[0],
+                    np.where(fg.any(axis=(0, 2)))[0],
+                    np.where(fg.any(axis=(0, 1)))[0])
+    )
+    sub = labels[sl]
+    comp, n = ndimage.label(sub > 0, structure=_STRUCT26)
     if n == 0:
         return labels
     sizes = np.bincount(comp.ravel())
     kill = np.zeros(n + 1, dtype=bool)
     kill[1:] = sizes[1:] < min_voxels
     out = labels.copy()
-    out[kill[comp]] = 0
+    region = out[sl]
+    region[kill[comp]] = 0
+    out[sl] = region
     return out
 
 

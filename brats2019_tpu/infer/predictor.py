@@ -81,16 +81,16 @@ class Predictor:
         canvas_img = fit_to_canvas(
             cropped.astype(ml_dtypes.bfloat16), self.canvas
         )
-        return canvas_img, cropped.shape[:3], bbox
+        # start the host->device transfer here so it overlaps with the
+        # previous volume's device work in the pipelined path
+        return jax.device_put(jnp.asarray(canvas_img)), cropped.shape[:3], bbox
 
     def predict_arrays(self, image: np.ndarray) -> Tuple[np.ndarray, PredictionStats]:
         """image: raw (X, Y, Z, 4) float32 -> internal labels (X, Y, Z) uint8."""
         t0 = time.time()
         canvas_img, cropped_shape, bbox = self._prep(image)
         t1 = time.time()
-        labels_c, _ = self._fn(
-            self.params_fine, self.params_coarse, jnp.asarray(canvas_img)
-        )
+        labels_c, _ = self._fn(self.params_fine, self.params_coarse, canvas_img)
         labels_c = np.asarray(jax.device_get(labels_c))
         t2 = time.time()
         labels = self._uncrop(labels_c, cropped_shape, bbox)
@@ -153,7 +153,7 @@ class Predictor:
             for fut in preps:
                 canvas_img, shape, bbox = fut.result()
                 labels_c, _ = self._fn(
-                    self.params_fine, self.params_coarse, jnp.asarray(canvas_img)
+                    self.params_fine, self.params_coarse, canvas_img
                 )  # async dispatch; device_get blocks in the post thread
                 posts.append(post_pool.submit(self._finish, labels_c, shape, bbox))
             return [p.result() for p in posts]
