@@ -48,37 +48,6 @@ class ConvNormAct(nn.Module):
         return x
 
 
-class ResBlock(nn.Module):
-    """Two ConvNormAct layers with a residual add (pre-activation style keeps
-    the hot path to 2 convs/level like the reference's double-conv blocks,
-    but residual connections stabilize the deeper bf16 cascade)."""
-
-    features: int
-    activation: str = "relu"
-    compute_dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        h = ConvNormAct(
-            self.features,
-            activation=self.activation,
-            compute_dtype=self.compute_dtype,
-        )(x)
-        h = ConvNormAct(
-            self.features, activation="none", compute_dtype=self.compute_dtype
-        )(h)
-        if x.shape[-1] != self.features:
-            x = nn.Conv(
-                self.features,
-                kernel_size=(1, 1, 1),
-                use_bias=False,
-                dtype=self.compute_dtype,
-                param_dtype=jnp.float32,
-            )(x)
-        # post-add activation (XLA fuses this into the add)
-        return nn.relu(h + x)
-
-
 class DoubleConv(nn.Module):
     """Plain {conv -> IN+act} x2 block — the reference-style level block."""
 
