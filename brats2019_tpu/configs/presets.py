@@ -46,6 +46,8 @@ class TrainConfig:
     # loss
     dice_weight: float = 1.0
     ce_weight: float = 1.0
+    region_weight: float = 0.0       # WT/TC/ET region-Dice term (optional)
+    deep_supervision_weight: float = 0.5
     # bookkeeping
     seed: int = 0
     log_every: int = 50

@@ -39,6 +39,10 @@ class UNetConfig:
     # measured on v5e: 32ch convs reach 12 TFLOP/s, 128ch 104, 256ch 169
     # (PERF.md). 1 = plain reference-parity topology.
     stem_downsample: int = 1
+    # deep supervision: auxiliary 1x1x1 heads on the decoder levels above
+    # the top (nnU-Net-style, arXiv:1809.10486 / 2110.03352) — emitted only
+    # when called with deep_outputs=True (training); inference unchanged
+    deep_supervision: bool = False
 
     def feats(self, level: int) -> int:
         return min(self.base_features * (2 ** level), self.max_features)
@@ -82,7 +86,7 @@ class UNet3D(nn.Module):
     config: UNetConfig = UNetConfig()
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deep_outputs: bool = False):
         cfg = self.config
         dt = cfg.dtype
         x = x.astype(dt)
@@ -100,13 +104,23 @@ class UNet3D(nn.Module):
                 skips.append(x)
                 x = downsample2x(x)
 
-        # decoder
+        # decoder (collect per-level features for deep supervision)
+        aux_logits = []
         for lvl in reversed(range(cfg.levels - 1)):
             x = upsample2x(x)
             x = jnp.concatenate([x, skips[lvl].astype(dt)], axis=-1)
             x = DoubleConv(
                 cfg.feats(lvl), activation=cfg.activation, compute_dtype=dt
             )(x)
+            if cfg.deep_supervision and deep_outputs and lvl > 0:
+                aux = nn.Conv(
+                    cfg.num_classes,
+                    kernel_size=(1, 1, 1),
+                    dtype=jnp.float32,
+                    param_dtype=jnp.float32,
+                    name=f"aux_head_{lvl}",
+                )(x.astype(jnp.float32))
+                aux_logits.append(aux)
 
         # head -> logits in fp32 (softmax/loss stability); sub-pixel when r>1
         logits = nn.Conv(
@@ -118,4 +132,6 @@ class UNet3D(nn.Module):
         )(x.astype(jnp.float32))
         if r > 1:
             logits = depth_to_space(logits, r)
+        if cfg.deep_supervision and deep_outputs:
+            return logits, aux_logits
         return logits

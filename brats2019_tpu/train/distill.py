@@ -60,7 +60,10 @@ def ensemble_teacher_probs(
     """Mean temperature-softened probabilities over a teacher ensemble."""
     probs = None
     for apply_fn, p in zip(teacher_apply_fns, teacher_params):
-        logits = jax.lax.stop_gradient(apply_fn(p, x)).astype(jnp.float32)
+        out = apply_fn(p, x)
+        if isinstance(out, tuple):
+            out = out[0]
+        logits = jax.lax.stop_gradient(out).astype(jnp.float32)
         pt = jax.nn.softmax(logits / temperature, axis=-1)
         probs = pt if probs is None else probs + pt
     return probs / len(teacher_params)
@@ -117,9 +120,12 @@ def make_kd_train_step(
         )
 
         def loss_fn(p):
-            logits = student_apply(p, imgs)
+            out = student_apply(p, imgs)
+            logits, aux_logits = out if isinstance(out, tuple) else (out, None)
             gt_loss, aux = segmentation_loss(
-                logits, segs, dice_weight=cfg.dice_weight, ce_weight=cfg.ce_weight
+                logits, segs, dice_weight=cfg.dice_weight, ce_weight=cfg.ce_weight,
+                region_weight=cfg.region_weight,
+                aux_logits=aux_logits, aux_weight=cfg.deep_supervision_weight,
             )
             l_kd = kd_loss(logits, t_probs, kd.temperature)
             total = kd.gt_weight * gt_loss + kd.kd_weight * l_kd

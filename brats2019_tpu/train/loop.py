@@ -42,7 +42,10 @@ def init_stage(
     """Build model + replicated params/opt state on the mesh."""
     model = UNet3D(unet_cfg)
     sample = jnp.zeros((1,) + tuple(train_cfg.patch) + (4,), jnp.float32)
-    params = model.init(jax.random.PRNGKey(train_cfg.seed), sample)
+    params = model.init(
+        jax.random.PRNGKey(train_cfg.seed), sample,
+        deep_outputs=unet_cfg.deep_supervision,
+    )
     tx = make_optimizer(train_cfg)
     opt_state = tx.init(params)
     repl = env.replicated()
@@ -97,11 +100,17 @@ def train_stage(
 
     model, params, opt_state = init_stage(unet_cfg, cfg, env)
     apply_fn = lambda p, x: model.apply(p, x)
+    # training apply requests the deep-supervision heads when configured
+    train_apply = (
+        (lambda p, x: model.apply(p, x, deep_outputs=True))
+        if unet_cfg.deep_supervision
+        else apply_fn
+    )
     if kd_teachers:
         from .distill import KDConfig, make_kd_train_step
 
         train_step = make_kd_train_step(
-            apply_fn,
+            train_apply,
             [t[0] for t in kd_teachers],
             [jax.device_put(t[1], env.replicated()) for t in kd_teachers],
             cfg,
@@ -109,7 +118,7 @@ def train_stage(
             env,
         )
     else:
-        train_step = make_train_step(apply_fn, cfg, env)
+        train_step = make_train_step(train_apply, cfg, env)
     eval_step = make_eval_step(apply_fn)
 
     ckpt = CheckpointManager(workdir, keep=cfg.keep_checkpoints)

@@ -40,14 +40,74 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
 
 
+# BraTS evaluation regions over internal classes (see train/metrics.py)
+_REGION_CLASSES = ((1, 2, 3), (1, 3), (3,))  # WT, TC, ET
+
+
+def region_soft_dice_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Soft Dice on the WT/TC/ET region probabilities (sums of class
+    softmax) — trains the exact quantities BraTS scores on (common winning
+    trick for this family)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    red = tuple(range(1, logits.ndim - 1))
+    total = 0.0
+    for classes in _REGION_CLASSES:
+        p = sum(probs[..., c] for c in classes)
+        g = sum((labels == c).astype(jnp.float32) for c in classes)
+        inter = jnp.sum(p * g, axis=red)
+        denom = jnp.sum(p + g, axis=red)
+        total = total + (1.0 - jnp.mean((2 * inter + eps) / (denom + eps)))
+    return total / len(_REGION_CLASSES)
+
+
+def _downsample_labels(labels: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Stride-subsample integer labels (center offset), per aux-head scale."""
+    o = factor // 2
+    return labels[:, o::factor, o::factor, o::factor]
+
+
 def segmentation_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     *,
     dice_weight: float = 1.0,
     ce_weight: float = 1.0,
+    region_weight: float = 0.0,
+    aux_logits: Optional[Tuple[jnp.ndarray, ...]] = None,
+    aux_weight: float = 0.5,
 ) -> Tuple[jnp.ndarray, dict]:
+    """Dice(+CE) loss with optional region-Dice term and deep supervision.
+
+    aux_logits: lower-resolution decoder heads; each is scored against
+    stride-subsampled labels with geometrically decaying weights
+    (aux_weight^depth), normalized so the total loss scale is stable.
+    """
     d = soft_dice_loss(logits, labels)
     ce = cross_entropy_loss(logits, labels)
     loss = dice_weight * d + ce_weight * ce
-    return loss, {"loss": loss, "dice_loss": d, "ce_loss": ce}
+    aux = {"dice_loss": d, "ce_loss": ce}
+    if region_weight > 0.0:
+        r = region_soft_dice_loss(logits, labels)
+        loss = loss + region_weight * r
+        aux["region_dice_loss"] = r
+    if aux_logits:
+        # sort shallow (highest resolution) first so weights decay with depth
+        ordered = sorted(aux_logits, key=lambda al: -al.shape[1])
+        w_total = 1.0
+        acc = loss
+        w = 1.0
+        for al in ordered:
+            factor = labels.shape[1] // al.shape[1]
+            yl = _downsample_labels(labels, factor)
+            w = w * aux_weight
+            al_loss = (
+                dice_weight * soft_dice_loss(al, yl)
+                + ce_weight * cross_entropy_loss(al, yl)
+            )
+            acc = acc + w * al_loss
+            w_total += w
+        loss = acc / w_total
+    aux["loss"] = loss
+    return loss, aux

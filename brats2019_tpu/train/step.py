@@ -105,12 +105,16 @@ def make_train_step(
         segs = segs.astype(jnp.int32)
 
         def loss_fn(p):
-            logits = apply_fn(p, imgs)
+            out = apply_fn(p, imgs)
+            logits, aux_logits = out if isinstance(out, tuple) else (out, None)
             return segmentation_loss(
                 logits,
                 segs,
                 dice_weight=cfg.dice_weight,
                 ce_weight=cfg.ce_weight,
+                region_weight=cfg.region_weight,
+                aux_logits=aux_logits,
+                aux_weight=cfg.deep_supervision_weight,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
