@@ -144,19 +144,50 @@ class Predictor:
     def predict_arrays_many(self, images) -> list:
         """Pipelined batch prediction: host prep, device execution, and host
         postprocessing run in overlapping stages (serving path — the device
-        never waits for NIfTI decode or connected components)."""
+        never waits for NIfTI decode or connected components).
+
+        With multiple local devices, volumes are striped round-robin across
+        them (each device runs the whole single-volume program on its own
+        cases — the natural data-parallel serving decomposition; per-volume
+        latency-sensitive multi-chip decomposition lives in
+        parallel.spatial.distributed_tile_sweep)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        devices = jax.local_devices()
+        params_by_dev = {}
+
+        def params_for(dev):
+            if dev not in params_by_dev:
+                params_by_dev[dev] = (
+                    jax.device_put(self.params_fine, dev),
+                    jax.device_put(self.params_coarse, dev)
+                    if self.params_coarse is not None
+                    else None,
+                )
+            return params_by_dev[dev]
+
         with ThreadPoolExecutor(1) as prep_pool, ThreadPoolExecutor(1) as post_pool:
-            preps = [prep_pool.submit(self._prep, img) for img in images]
+            preps = [
+                prep_pool.submit(self._prep_to, img, devices[i % len(devices)])
+                for i, img in enumerate(images)
+            ]
             posts = []
-            for fut in preps:
-                canvas_img, shape, bbox = fut.result()
-                labels_c, _ = self._fn(
-                    self.params_fine, self.params_coarse, canvas_img
-                )  # async dispatch; device_get blocks in the post thread
+            for i, fut in enumerate(preps):
+                x_dev, shape, bbox = fut.result()
+                pf, pc = params_for(devices[i % len(devices)])
+                labels_c, _ = self._fn(pf, pc, x_dev)
                 posts.append(post_pool.submit(self._finish, labels_c, shape, bbox))
             return [p.result() for p in posts]
+
+    def _prep_to(self, image: np.ndarray, dev):
+        """_prep with explicit device placement (transfer overlaps with the
+        previous volume's device work — it runs in the prep thread)."""
+        import ml_dtypes
+
+        bbox = brain_bbox_np(image)
+        cropped = crop_np(image, bbox)
+        canvas_img = fit_to_canvas(cropped.astype(ml_dtypes.bfloat16), self.canvas)
+        return jax.device_put(jnp.asarray(canvas_img), dev), cropped.shape[:3], bbox
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image)
