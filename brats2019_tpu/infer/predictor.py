@@ -60,8 +60,16 @@ class Predictor:
         if exp.infer.cascade and exp.coarse_unet is not None and params_coarse is not None:
             coarse_model = UNet3D(exp.coarse_unet)
             coarse_apply = lambda p, x: coarse_model.apply(p, x)
-        self.params_fine = params_fine
-        self.params_coarse = params_coarse
+        # commit params to one device so every call path shares ONE jit cache
+        # entry (committed vs uncommitted placement are different jit keys —
+        # mixing them recompiles the whole predict program; see PERF.md)
+        self._default_dev = jax.local_devices()[0]
+        self.params_fine = jax.device_put(params_fine, self._default_dev)
+        self.params_coarse = (
+            jax.device_put(params_coarse, self._default_dev)
+            if params_coarse is not None
+            else None
+        )
         self._fn = make_predict_fn(
             fine_apply,
             exp.infer,
@@ -70,28 +78,15 @@ class Predictor:
             coarse_apply=coarse_apply,
         )
 
-    def _prep(self, image: np.ndarray):
-        """Host side: bbox crop + canvas fit; ships bf16 (raw intensities are
-        int16-ranged in BraTS — bf16 halves the host->device transfer and the
-        z-score statistics are computed in f32 on device)."""
-        import ml_dtypes
-
-        bbox = brain_bbox_np(image)
-        cropped = crop_np(image, bbox)
-        canvas_img = fit_to_canvas(
-            cropped.astype(ml_dtypes.bfloat16), self.canvas
-        )
-        # start the host->device transfer here so it overlaps with the
-        # previous volume's device work in the pipelined path
-        return jax.device_put(jnp.asarray(canvas_img)), cropped.shape[:3], bbox
-
     def predict_arrays(self, image: np.ndarray) -> Tuple[np.ndarray, PredictionStats]:
         """image: raw (X, Y, Z, 4) float32 -> internal labels (X, Y, Z) uint8."""
         t0 = time.time()
-        canvas_img, cropped_shape, bbox = self._prep(image)
+        canvas_img, cropped_shape, bbox = self._prep_to(image, self._default_dev)
         t1 = time.time()
-        labels_c, _ = self._fn(self.params_fine, self.params_coarse, canvas_img)
-        labels_c = np.asarray(jax.device_get(labels_c))
+        labels_r, start = self._fn(self.params_fine, self.params_coarse, canvas_img)
+        labels_c = self._paste_roi(
+            np.asarray(jax.device_get(labels_r)), np.asarray(jax.device_get(start))
+        )
         t2 = time.time()
         labels = self._uncrop(labels_c, cropped_shape, bbox)
         if self.exp.infer.postproc != "device":  # device path did C16 in-graph
@@ -130,8 +125,22 @@ class Predictor:
         out[sl] = cropped
         return out
 
-    def _finish(self, labels_c_dev, cropped_shape, bbox) -> np.ndarray:
-        labels_c = np.asarray(jax.device_get(labels_c_dev))
+    def _paste_roi(self, labels_r: np.ndarray, start: np.ndarray) -> np.ndarray:
+        """Place device ROI labels into a zero canvas (host memcpy)."""
+        if labels_r.shape == self.canvas:
+            return labels_r
+        out = np.zeros(self.canvas, dtype=labels_r.dtype)
+        sx, sy, sz = (int(v) for v in start)
+        rx, ry, rz = labels_r.shape
+        out[sx : sx + rx, sy : sy + ry, sz : sz + rz] = labels_r
+        return out
+
+    def _finish(self, fetched, cropped_shape, bbox) -> np.ndarray:
+        labels_r_dev, start_dev = fetched
+        labels_c = self._paste_roi(
+            np.asarray(jax.device_get(labels_r_dev)),
+            np.asarray(jax.device_get(start_dev)),
+        )
         labels = self._uncrop(labels_c, cropped_shape, bbox)
         if self.exp.infer.postproc == "device":
             return labels
@@ -157,6 +166,8 @@ class Predictor:
         params_by_dev = {}
 
         def params_for(dev):
+            if dev == self._default_dev:
+                return self.params_fine, self.params_coarse
             if dev not in params_by_dev:
                 params_by_dev[dev] = (
                     jax.device_put(self.params_fine, dev),
@@ -175,8 +186,10 @@ class Predictor:
             for i, fut in enumerate(preps):
                 x_dev, shape, bbox = fut.result()
                 pf, pc = params_for(devices[i % len(devices)])
-                labels_c, _ = self._fn(pf, pc, x_dev)
-                posts.append(post_pool.submit(self._finish, labels_c, shape, bbox))
+                labels_r, start = self._fn(pf, pc, x_dev)
+                posts.append(
+                    post_pool.submit(self._finish, (labels_r, start), shape, bbox)
+                )
             return [p.result() for p in posts]
 
     def _prep_to(self, image: np.ndarray, dev):

@@ -36,8 +36,10 @@ def make_predict_fn(
     """Build the jitted whole-canvas predictor.
 
     fine_apply/coarse_apply: (params, batch) -> logits.
-    Returns predict(params_fine, params_coarse_or_None, image (X,Y,Z,C) raw
-    float32) -> (labels uint8 (X,Y,Z), probs (X,Y,Z,K)).
+    Returns predict(params_fine, params_coarse_or_None, image (X,Y,Z,C) raw)
+    -> (labels_roi uint8, start int32 (3,)): the segmented ROI plus its
+    placement in the canvas (the full canvas is ROI-labels pasted on zeros —
+    done host-side to keep the device->host fetch small).
 
     The canvas is the static padded shape every case is fitted to
     (host-side bbox crop + center pad; see infer/predictor.py).
@@ -94,19 +96,12 @@ def make_predict_fn(
                 labels_r, cfg.min_component_voxels, cfg.et_min_voxels
             )
 
+        # return only the ROI labels + placement: the fetch back to the host
+        # is 3-4x smaller than a full canvas and the host paste is a memcpy
+        # (the probability canvas was dead weight — never fetched)
         if use_cascade:
-            # paste ROI labels/probs into a background-certain canvas
-            bg = jnp.zeros(canvas + (num_classes,), jnp.float32)
-            bg = bg.at[..., 0].set(1.0)
-            probs = jax.lax.dynamic_update_slice(bg, probs_r, o)
-            lbg = jnp.zeros(canvas, jnp.uint8)
-            labels = jax.lax.dynamic_update_slice(
-                lbg, labels_r, (start[0], start[1], start[2])
-            )
-        else:
-            probs = probs_r
-            labels = labels_r
-        return labels, probs
+            return labels_r, start
+        return labels_r, jnp.zeros((3,), jnp.int32)
 
     return jax.jit(predict)
 
