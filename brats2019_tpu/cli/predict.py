@@ -75,16 +75,19 @@ def main(argv=None) -> int:
 
     predictor = Predictor(exp, params_fine, params_coarse)
     t0 = time.time()
-    for d in cases:
-        out, stats = predictor.predict_dir(
-            d, args.output if len(cases) == 1 else None
-        )
+    if len(cases) == 1:
+        out, stats = predictor.predict_dir(cases[0], args.output)
         print(
-            f"[predict] {d} -> {out} "
+            f"[predict] {cases[0]} -> {out} "
             f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
             f"post {stats.post_s:.2f}s)",
             flush=True,
         )
+    else:
+        # pipelined serving path: decode/device/write stages overlap
+        outs = predictor.predict_dirs(cases)
+        for d, out in zip(cases, outs):
+            print(f"[predict] {d} -> {out}", flush=True)
     dt = time.time() - t0
     print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
           f"({len(cases) / dt:.3f} volumes/sec)", flush=True)

@@ -189,25 +189,29 @@ class CasePool:
             ]
         self._assemble()
 
-    def _assemble(self) -> None:
-        """Build global sharded arrays from per-device slot buffers."""
+    def _assemble(self, only_device: Optional[int] = None) -> None:
+        """Build global sharded arrays from per-device slot buffers.
+
+        ``only_device`` restacks just that device's shard (the slot-refresh
+        path) and reuses the cached stacks for every other device — a
+        refresh moves one case, not the whole pool."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_stacked"):
+            self._stacked = {n: [None] * len(self.devices) for n in
+                             ("image", "seg", "fg")}
         arrays = {}
         for name in ("image", "seg", "fg"):
             sample = self._shards[name][0][0]
-            local_shape = (self.k_local,) + sample.shape
             global_shape = (self.k_global,) + sample.shape
             sharding = NamedSharding(self.env.mesh, P(DATA_AXIS))
-            # stack each device's slots into one per-device shard
-            shards = []
             for i, dev in enumerate(self.devices):
-                import jax.numpy as jnp
-
-                stacked = jax.device_put(
-                    jnp.stack(self._shards[name][i]), dev
-                )
-                shards.append(stacked)
+                if self._stacked[name][i] is None or only_device in (None, i):
+                    self._stacked[name][i] = jax.device_put(
+                        jnp.stack(self._shards[name][i]), dev
+                    )
             arrays[name] = jax.make_array_from_single_device_arrays(
-                global_shape, sharding, shards
+                global_shape, sharding, list(self._stacked[name])
             )
         self.image, self.seg, self.fg = (
             arrays["image"],
@@ -263,7 +267,7 @@ class CasePool:
         dev = self.devices[dev_i]
         for name in ("image", "seg", "fg"):
             self._shards[name][dev_i][slot_i] = jax.device_put(c[name], dev)
-        self._assemble()
+        self._assemble(only_device=dev_i)
         return True
 
     def state(self):

@@ -70,6 +70,7 @@ class Predictor:
             if params_coarse is not None
             else None
         )
+        self._params_by_dev = {}
         self._fn = make_predict_fn(
             fine_apply,
             exp.infer,
@@ -163,19 +164,6 @@ class Predictor:
         from concurrent.futures import ThreadPoolExecutor
 
         devices = jax.local_devices()
-        params_by_dev = {}
-
-        def params_for(dev):
-            if dev == self._default_dev:
-                return self.params_fine, self.params_coarse
-            if dev not in params_by_dev:
-                params_by_dev[dev] = (
-                    jax.device_put(self.params_fine, dev),
-                    jax.device_put(self.params_coarse, dev)
-                    if self.params_coarse is not None
-                    else None,
-                )
-            return params_by_dev[dev]
 
         with ThreadPoolExecutor(1) as prep_pool, ThreadPoolExecutor(1) as post_pool:
             preps = [
@@ -185,12 +173,25 @@ class Predictor:
             posts = []
             for i, fut in enumerate(preps):
                 x_dev, shape, bbox = fut.result()
-                pf, pc = params_for(devices[i % len(devices)])
+                pf, pc = self._params_on(devices[i % len(devices)])
                 labels_r, start = self._fn(pf, pc, x_dev)
                 posts.append(
                     post_pool.submit(self._finish, (labels_r, start), shape, bbox)
                 )
             return [p.result() for p in posts]
+
+    def _params_on(self, dev):
+        """Per-device committed copies of the (frozen) inference params."""
+        if dev == self._default_dev:
+            return self.params_fine, self.params_coarse
+        if dev not in self._params_by_dev:
+            self._params_by_dev[dev] = (
+                jax.device_put(self.params_fine, dev),
+                jax.device_put(self.params_coarse, dev)
+                if self.params_coarse is not None
+                else None,
+            )
+        return self._params_by_dev[dev]
 
     def _prep_to(self, image: np.ndarray, dev):
         """_prep with explicit device placement (transfer overlaps with the
@@ -204,6 +205,46 @@ class Predictor:
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image)
+
+    def predict_dirs(self, case_dirs) -> list:
+        """Pipelined multi-case CLI path: NIfTI decode (native threaded
+        loader), device execution, postprocess + NIfTI write all overlap.
+        Returns output paths."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        devices = jax.local_devices()
+
+        def load_and_prep(i_d):
+            i, d = i_d
+            case = load_case(d, load_seg=False)
+            x_dev, shape, bbox = self._prep_to(
+                case.image, devices[i % len(devices)]
+            )
+            return case, x_dev, shape, bbox
+
+        def finish_and_write(case, fetched, shape, bbox, case_dir):
+            labels = self._finish(fetched, shape, bbox)
+            disk = internal_to_disk(labels).astype(np.uint8)
+            out = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
+            write_nifti(out, disk, like=case.header)
+            return out
+
+        with ThreadPoolExecutor(1) as prep_pool, ThreadPoolExecutor(1) as post_pool:
+            preps = [
+                prep_pool.submit(load_and_prep, (i, d))
+                for i, d in enumerate(case_dirs)
+            ]
+            posts = []
+            for i, (fut, d) in enumerate(zip(preps, case_dirs)):
+                case, x_dev, shape, bbox = fut.result()
+                pf, pc = self._params_on(devices[i % len(devices)])
+                labels_r, start = self._fn(pf, pc, x_dev)
+                posts.append(
+                    post_pool.submit(
+                        finish_and_write, case, (labels_r, start), shape, bbox, d
+                    )
+                )
+            return [p.result() for p in posts]
 
     def predict_dir(
         self, case_dir: str, output_path: Optional[str] = None
