@@ -35,12 +35,14 @@ from .loss import segmentation_loss
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW + linear warmup -> cosine decay + global-norm clipping."""
-    if cfg.warmup_steps > 0:
+    # clamp warmup below the run length (short runs/smoke keep a valid decay)
+    warmup = min(cfg.warmup_steps, max(cfg.steps // 2, 0))
+    if warmup > 0:
         schedule = optax.warmup_cosine_decay_schedule(
             # start one warmup increment up, not at 0 — step 0 learns too
-            init_value=cfg.lr / (cfg.warmup_steps + 1),
+            init_value=cfg.lr / (warmup + 1),
             peak_value=cfg.lr,
-            warmup_steps=cfg.warmup_steps,
+            warmup_steps=warmup,
             decay_steps=max(cfg.steps, 2),
             end_value=cfg.lr * cfg.end_lr_frac,
         )
