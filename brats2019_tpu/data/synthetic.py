@@ -9,7 +9,7 @@ geometry so tests can assert bounding boxes and Dice against ground truth.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -17,8 +17,6 @@ capability surface):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 _STRUCT26 = np.ones((3, 3, 3), dtype=bool)

@@ -15,13 +15,12 @@ InstanceNorm+activation, trilinear up/downsampling, skip connections,
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.resize import downsample2x, upsample2x
-from .blocks import ConvNormAct, DoubleConv
+from .blocks import DoubleConv
 
 
 @dataclasses.dataclass(frozen=True)

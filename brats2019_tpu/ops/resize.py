@@ -8,7 +8,7 @@ which XLA maps to a single fused pass).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,12 @@ tested against the single-device oracle on the 8-virtual-CPU mesh
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from .mesh import DATA_AXIS, MeshEnv
 

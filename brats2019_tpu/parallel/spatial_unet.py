@@ -24,7 +24,7 @@ mesh (tests/test_spatial_unet.py).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ with temperature-T softened distributions, KL averaged over voxels.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ TPU-first design, contrasted with the reference's loop (host DataLoader ->
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
