@@ -201,6 +201,10 @@ def read_nifti(
     if hdr.byteswapped:
         arr = arr.byteswap()  # bytes were big-endian; swap to native values
     arr = np.ascontiguousarray(arr.reshape(hdr.dim, order="F"))
+    # many tools write 3-D volumes as dim[0]=4 with a singleton 4th axis;
+    # normalize to true 3-D so modality stacking stays (X, Y, Z, C)
+    while arr.ndim > 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
     slope, inter = hdr.scl_slope, hdr.scl_inter
     nontrivial = (slope not in (0.0, 1.0) and not np.isnan(slope)) or (
         inter != 0.0 and not np.isnan(inter)

@@ -101,3 +101,13 @@ def test_gzip_detection_and_determinism(tmp_path):
     assert open(p1, "rb").read() == open(p2, "rb").read()  # mtime=0 determinism
     with gzip.open(p1, "rb") as f:
         assert f.read(4) == struct.pack("<i", 348)
+
+
+def test_singleton_fourth_dim_squeezed(tmp_path):
+    # common in the wild: dim[0]=4 with a trailing singleton time axis
+    data = np.random.default_rng(5).integers(0, 50, (6, 5, 4)).astype(np.int16)
+    p = str(tmp_path / "t4.nii")
+    nifti.write_nifti(p, data[..., None])  # write as (6,5,4,1)
+    back, hdr = nifti.read_nifti(p)
+    assert back.shape == (6, 5, 4)
+    np.testing.assert_array_equal(back, data)
