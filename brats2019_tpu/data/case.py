@@ -68,7 +68,10 @@ def is_case_dir(path: str) -> bool:
 
 
 def discover_cases(root: str) -> List[str]:
-    """Scan ``root`` for BraTS case directories (root itself, or children)."""
+    """Scan ``root`` for BraTS case directories (root itself, or children).
+    A missing/non-directory path yields [] (CLIs report it as an error)."""
+    if not os.path.isdir(root):
+        return []
     if is_case_dir(root):
         return [root]
     out = []
