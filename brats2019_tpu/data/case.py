@@ -34,6 +34,9 @@ class Case:
     image: np.ndarray                 # (X, Y, Z, 4) float32, raw intensities
     seg: Optional[np.ndarray]         # (X, Y, Z) uint8 internal labels, or None
     header: NiftiHeader               # header of the first modality (for write-back)
+    # native-loader byproducts (brain bbox computed during decode); None when
+    # the pure-python reader was used
+    meta: Optional[dict] = None
 
 
 def modality_paths(case_dir: str) -> List[str]:
@@ -99,12 +102,14 @@ def load_case(case_dir: str, *, load_seg: bool = True, backend: str = "auto") ->
         from ..utils.nifti import read_header
 
         res = nifti_fast.load_volumes_fast(paths) if nifti_fast.available() else None
+        meta = None
         if res is not None:
-            image, _meta = res
+            image, meta = res
             header = read_header(paths[0])
         elif backend == "native":
             raise RuntimeError("native loader requested but unavailable")
     if image is None:
+        meta = None
         vols = []
         for p in paths:
             arr, hdr = read_nifti(p, dtype=np.float32)
@@ -128,4 +133,5 @@ def load_case(case_dir: str, *, load_seg: bool = True, backend: str = "auto") ->
         image=image,
         seg=seg,
         header=header,
+        meta=meta,
     )

@@ -90,3 +90,15 @@ def test_param_count_reasonable():
     params = model.init(jax.random.PRNGKey(0), x)
     n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
     assert 1e5 < n < 1e8
+
+
+def test_reference_parity_preset_forward():
+    from brats2019_tpu.configs import get_preset
+
+    exp = get_preset("reference_parity")
+    model = UNet3D(exp.unet)
+    m = exp.unet.min_spatial
+    x = jnp.zeros((1, m, m, m, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, m, m, m, 4)
