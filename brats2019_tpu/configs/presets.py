@@ -30,6 +30,10 @@ class TrainConfig:
     pool_cases_per_device: int = 4
     batch_per_device: int = 1
     fg_prob: float = 0.5
+    # sequential microbatches accumulated per optimizer update: effective
+    # batch = batch_per_device * grad_accum_steps * n_devices at batch-1 HBM
+    # cost (batch>1 per device measured slower on v5e — PERF.md)
+    grad_accum_steps: int = 1
     augment: bool = True
     intensity_scale: float = 0.1
     intensity_shift: float = 0.1

@@ -102,8 +102,8 @@ def make_train_step(
 
         return jax.vmap(sample_one)(keys)
 
-    def local_step(params, opt_state, pool_img, pool_seg, fg_tables, step):
-        imgs, segs = sample_local_batch(step, pool_img, pool_seg, fg_tables)
+    def microbatch_grads(params, micro_key, pool_img, pool_seg, fg_tables):
+        imgs, segs = sample_local_batch(micro_key, pool_img, pool_seg, fg_tables)
         segs = segs.astype(jnp.int32)
 
         def loss_fn(p):
@@ -119,7 +119,34 @@ def make_train_step(
                 aux_weight=cfg.deep_supervision_weight,
             )
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def local_step(params, opt_state, pool_img, pool_seg, fg_tables, step):
+        k = max(cfg.grad_accum_steps, 1)
+        if k == 1:
+            (_, aux), grads = microbatch_grads(
+                params, step, pool_img, pool_seg, fg_tables
+            )
+        else:
+            # sequential microbatches via scan: batch-1 activation memory,
+            # k-fold effective batch; micro RNG = fold_in(step*k + i)
+            def body(carry, i):
+                g_acc, aux_acc = carry
+                (_, aux_i), g_i = microbatch_grads(
+                    params, step * k + i, pool_img, pool_seg, fg_tables
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_i)
+                aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux_i)
+                return (g_acc, aux_acc), None
+
+            (_, aux0), g0 = microbatch_grads(
+                params, step * k, pool_img, pool_seg, fg_tables
+            )
+            (g_sum, aux_sum), _ = jax.lax.scan(
+                body, (g0, aux0), jnp.arange(1, k)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+            aux = jax.tree_util.tree_map(lambda a: a / k, aux_sum)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         aux = jax.lax.pmean(aux, DATA_AXIS)
         updates, new_opt_state = tx.update(grads, opt_state, params)

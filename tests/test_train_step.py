@@ -120,3 +120,27 @@ def test_eval_step(setup):
     assert pred.shape == (32, 32, 32)
     assert pred.dtype == np.uint8
     assert set(np.unique(pred)) <= {0, 1, 2, 3}
+
+
+def test_grad_accumulation_matches_mean_of_microbatches(setup):
+    env, apply_fn, _, params, opt_state, pool = setup
+    cfg2 = dataclasses.replace(CFG, grad_accum_steps=2)
+    step2 = make_train_step(apply_fn, cfg2, env)
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    o = jax.tree_util.tree_map(jnp.copy, opt_state)
+    p2, o2, aux2 = step2.fn(p, o, *pool, jnp.int32(3))
+    aux2 = jax.device_get(aux2)
+    assert np.isfinite(aux2["loss"])
+
+    # reference: two k=1 steps at the accumulation micro keys, grads averaged
+    cfg1 = dataclasses.replace(CFG, grad_accum_steps=1)
+    step1 = make_train_step(apply_fn, cfg1, env)
+    losses = []
+    for micro in (6, 7):  # step*k + i with step=3, k=2
+        pa = jax.tree_util.tree_map(jnp.copy, params)
+        oa = jax.tree_util.tree_map(jnp.copy, opt_state)
+        _, _, aux1 = step1.fn(pa, oa, *pool, jnp.int32(micro))
+        losses.append(float(jax.device_get(aux1)["loss"]))
+    np.testing.assert_allclose(
+        float(aux2["loss"]), np.mean(losses), rtol=1e-5
+    )
