@@ -143,6 +143,40 @@ def spatial_unet_forward(
     return logits
 
 
+def make_spatial_train_grad(env: MeshEnv, cfg: UNetConfig) -> Callable:
+    """Spatially-sharded TRAINING gradients: jit(shard_map) of
+    (params, volume sharded on X, labels sharded on X) -> (loss, grads).
+
+    AD flows through the halo exchanges automatically (the transpose of
+    ``ppermute`` is the reverse permute), so whole-volume context-parallel
+    training needs no extra machinery: local CE loss, local grads, one
+    ``pmean`` — gradients match the unsharded model exactly
+    (tests/test_spatial_unet.py).
+    """
+
+    def local_grad(params, x_local, y_local):
+        def loss_fn(p):
+            logits = spatial_unet_forward(p, x_local, cfg, DATA_AXIS)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            onehot = jax.nn.one_hot(y_local, logits.shape[-1], dtype=jnp.float32)
+            return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return (
+            jax.lax.pmean(loss, DATA_AXIS),
+            jax.lax.pmean(grads, DATA_AXIS),
+        )
+
+    sharded = jax.shard_map(
+        local_grad,
+        mesh=env.mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_spatial_unet(env: MeshEnv, cfg: UNetConfig) -> Callable:
     """jit(shard_map) whole-volume forward: global (X, Y, Z, 4) sharded on X
     over the mesh, params replicated -> global logits (X, Y, Z, K)."""
