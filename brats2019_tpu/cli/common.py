@@ -36,8 +36,15 @@ def resolve_experiment(args) -> ExperimentConfig:
 
 def params_like_for(unet_cfg: UNetConfig, patch=(32, 32, 32)):
     model = UNet3D(unet_cfg)
+    # Init with deep_outputs matching the training config: a checkpoint
+    # trained with deep_supervision carries aux_head_* params, and orbax
+    # restore needs a structurally identical template (ADVICE round-1 low).
     return jax.eval_shape(
-        lambda k: model.init(k, jnp.zeros((1,) + tuple(patch) + (4,))),
+        lambda k: model.init(
+            k,
+            jnp.zeros((1,) + tuple(patch) + (4,)),
+            deep_outputs=unet_cfg.deep_supervision,
+        ),
         jax.random.PRNGKey(0),
     )
 

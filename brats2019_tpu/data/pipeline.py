@@ -95,27 +95,47 @@ def prepare_training_case(
 
 @dataclasses.dataclass
 class CaseCursor:
-    """Deterministic shuffled traversal of the case list; checkpointable."""
+    """Deterministic shuffled traversal of the case list; checkpointable.
+
+    On a multi-host slice every process constructs the SAME per-epoch
+    permutation (seeded identically) but walks a disjoint interleaved
+    subsequence of it: process p of H visits permutation positions
+    p, p+H, p+2H, ... (``offset``/``stride``). ``index`` counts positions
+    within this process's own subsequence, so checkpoint/restore is
+    per-process exact.
+    """
 
     n_cases: int
     seed: int = 0
     epoch: int = 0
     index: int = 0
+    stride: int = 1
+    offset: int = 0
 
     def _order(self) -> np.ndarray:
         rng = np.random.default_rng(self.seed + self.epoch * 1_000_003)
         return rng.permutation(self.n_cases)
 
+    def _positions_per_epoch(self) -> int:
+        if self.offset >= self.n_cases:
+            # degenerate: fewer cases than hosts — this host reuses one slot
+            # (duplication is unavoidable; never starve the pool)
+            return 1
+        return (self.n_cases - 1 - self.offset) // self.stride + 1
+
     def next_index(self) -> int:
         order = self._order()
-        i = int(order[self.index])
+        pos = self.offset + self.index * self.stride
+        i = int(order[pos % self.n_cases])
         self.index += 1
-        if self.index >= self.n_cases:
+        if self.index >= self._positions_per_epoch():
             self.index = 0
             self.epoch += 1
         return i
 
     def state(self) -> Dict[str, int]:
+        # stride/offset are topology-derived (process_count/index) and are
+        # re-established at construction; persist traversal position only.
         return {"epoch": self.epoch, "index": self.index, "seed": self.seed}
 
     def load_state(self, s: Dict[str, int]) -> None:
@@ -151,7 +171,15 @@ class CasePool:
         ]
         self.k_local = cases_per_device
         self.k_global = cases_per_device * len(all_devices)
-        self.cursor = CaseCursor(len(self.case_dirs), seed=seed)
+        # Disjoint interleaved traversal per host: without this, every
+        # process would fill its shards from an identical sequence and all
+        # hosts would load the same cases (ADVICE round-1 medium).
+        self.cursor = CaseCursor(
+            len(self.case_dirs),
+            seed=seed,
+            stride=jax.process_count(),
+            offset=jax.process_index(),
+        )
         self._queue: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(
             maxsize=prefetch
         )

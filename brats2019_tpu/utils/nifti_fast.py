@@ -45,14 +45,16 @@ def _ensure_lib():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        # best-effort build (the toolchain is present in dev images)
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.dirname(_LIB_PATH)],
-                capture_output=True, timeout=120, check=True,
-            )
-        except Exception:
+    # Always run make: it is a no-op when the .so is current, and it prevents
+    # loading a stale library against these argtypes after fastnifti.cpp
+    # changes (the ABI gained an expect-dims parameter).
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(_LIB_PATH)],
+            capture_output=True, timeout=120, check=True,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -64,6 +66,7 @@ def _ensure_lib():
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64 * 3,
         ctypes.POINTER(_FNInfo),
         ctypes.c_int32,
     ]
@@ -99,11 +102,18 @@ def load_volumes_fast(
         c_paths,
         len(paths),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dims,
         infos,
         0,
     )
     if rc != 0:
         return None
+    # Defense in depth: the native side already rejects dims mismatches
+    # before writing, but never trust the buffer unless every decoded header
+    # matched what we allocated for.
+    for info in infos:
+        if tuple(info.dims[:]) != (dims[0], dims[1], dims[2]):
+            return None
     means, stds = [], []
     lo = np.array([dims[0], dims[1], dims[2]], np.int64)
     hi = np.zeros(3, np.int64)

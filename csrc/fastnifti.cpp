@@ -17,6 +17,7 @@
 //
 // Build: make -C csrc   (produces csrc/libfastnifti.so; needs zlib)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -157,8 +158,14 @@ int fn_probe(const char* path, int64_t dims[3]) {
 //   out[((x*ny + y)*nz + z)*stride + offset]
 // accumulating nonzero stats + bbox. stride/offset implement channel
 // interleave ((X,Y,Z,C) with stride=C, offset=channel).
+//
+// `expect` (nullable): expected [nx,ny,nz]. The output buffer is sized by the
+// caller from a probe of one file; a case whose other modalities carry
+// different header dims would otherwise write out of bounds (heap
+// corruption). When expect is non-null and any dim differs, fail BEFORE
+// touching `out`.
 int fn_read_volume(const char* path, float* out, int64_t stride,
-                   int64_t offset, FNInfo* info) {
+                   int64_t offset, const int64_t* expect, FNInfo* info) {
   info->ok = 0;
   std::vector<unsigned char> bytes;
   if (!slurp(path, &bytes, info->err)) return 1;
@@ -168,6 +175,13 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
   info->dims[0] = nx;
   info->dims[1] = ny;
   info->dims[2] = nz;
+  if (expect && (nx != expect[0] || ny != expect[1] || nz != expect[2])) {
+    snprintf(info->err, 256,
+             "dims mismatch: header (%lld,%lld,%lld) vs expected (%lld,%lld,%lld)",
+             (long long)nx, (long long)ny, (long long)nz, (long long)expect[0],
+             (long long)expect[1], (long long)expect[2]);
+    return 5;
+  }
   size_t esize;
   switch (h.datatype) {
     case 2: esize = 1; break;    // uint8
@@ -185,10 +199,15 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
     return 4;
   }
   const unsigned char* data = bytes.data() + h.vox_offset;
-  const bool scale = (h.scl_slope != 0.0f && h.scl_slope != 1.0f) ||
-                     (h.scl_inter != 0.0f);
-  const float slope = (h.scl_slope == 0.0f) ? 1.0f : h.scl_slope;
-  const float inter = h.scl_inter;
+  // NaN scl fields mean "unset" — mirror the Python reader's semantics
+  // (utils/nifti.py treats NaN slope as 1.0 and NaN inter as 0.0) so the two
+  // ingest backends agree on such files.
+  const float raw_slope = std::isnan(h.scl_slope) ? 1.0f : h.scl_slope;
+  const float raw_inter = std::isnan(h.scl_inter) ? 0.0f : h.scl_inter;
+  const bool scale =
+      (raw_slope != 0.0f && raw_slope != 1.0f) || (raw_inter != 0.0f);
+  const float slope = (raw_slope == 0.0f) ? 1.0f : raw_slope;
+  const float inter = raw_inter;
 
   double sum = 0.0, sumsq = 0.0;
   int64_t nonzero = 0;
@@ -270,14 +289,17 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
 }
 
 // Load a whole case (n files -> interleaved (X,Y,Z,n) float32), one thread
-// per file. Returns 0 iff every file decoded.
-int fn_read_case(const char** paths, int32_t n, float* out, FNInfo* infos,
-                 int32_t max_threads) {
+// per file. `expect` = the [nx,ny,nz] the caller allocated `out` for — every
+// file's header must match or its decode fails with rc 5 (no OOB write).
+// Returns 0 iff every file decoded.
+int fn_read_case(const char** paths, int32_t n, float* out,
+                 const int64_t* expect, FNInfo* infos, int32_t max_threads) {
   std::vector<std::thread> threads;
   int32_t tcount = max_threads > 0 ? max_threads : (int32_t)std::thread::hardware_concurrency();
   (void)tcount;  // one thread per file; n is small (4-5)
   for (int32_t i = 0; i < n; ++i) {
-    threads.emplace_back([=]() { fn_read_volume(paths[i], out, n, i, &infos[i]); });
+    threads.emplace_back(
+        [=]() { fn_read_volume(paths[i], out, n, i, expect, &infos[i]); });
   }
   for (auto& t : threads) t.join();
   for (int32_t i = 0; i < n; ++i) {

@@ -98,3 +98,46 @@ def test_augment_batch_shapes():
     assert ai.shape == imgs.shape and as_.shape == segs.shape
     # different batch elements got different augmentations
     assert not np.allclose(np.asarray(ai[0]), np.asarray(ai[1]))
+
+
+def test_case_cursor_multihost_striding_disjoint():
+    """H striped cursors over one epoch cover all cases exactly once
+    (ADVICE round-1 medium: hosts must not all load the same cases)."""
+    from brats2019_tpu.data.pipeline import CaseCursor
+
+    n, hosts = 13, 4
+    cursors = [
+        CaseCursor(n, seed=7, stride=hosts, offset=p) for p in range(hosts)
+    ]
+    visited = []
+    for c in cursors:
+        while c.epoch == 0:
+            visited.append(c.next_index())
+    assert sorted(visited) == list(range(n))
+
+    # epoch 1 re-covers everything too (new permutation, same partition law)
+    visited2 = []
+    for c in cursors:
+        while c.epoch == 1:
+            visited2.append(c.next_index())
+    assert sorted(visited2) == list(range(n))
+    assert visited2 != visited  # reshuffled between epochs
+
+
+def test_case_cursor_fewer_cases_than_hosts():
+    from brats2019_tpu.data.pipeline import CaseCursor
+
+    c = CaseCursor(2, seed=0, stride=8, offset=5)  # offset >= n_cases
+    ids = [c.next_index() for _ in range(4)]
+    assert all(0 <= i < 2 for i in ids)
+    assert c.epoch == 4  # one position per epoch in the degenerate regime
+
+
+def test_case_cursor_default_matches_single_host():
+    from brats2019_tpu.data.pipeline import CaseCursor
+
+    a = CaseCursor(9, seed=3)
+    b = CaseCursor(9, seed=3, stride=1, offset=0)
+    assert [a.next_index() for _ in range(20)] == [
+        b.next_index() for _ in range(20)
+    ]

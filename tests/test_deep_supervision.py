@@ -97,3 +97,26 @@ def test_train_step_with_deep_supervision_and_region_loss():
         assert np.isfinite(aux["loss"]) and "region_dice_loss" in aux
         losses.append(float(aux["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_restore_template_includes_aux_heads():
+    """params_like_for must mirror what training saved: with
+    deep_supervision=True the checkpoint carries aux_head_* params and the
+    restore template needs the same pytree structure (ADVICE round-1 low)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brats2019_tpu.cli.common import params_like_for
+    from brats2019_tpu.models.unet3d import UNet3D, UNetConfig
+
+    cfg = UNetConfig(levels=2, base_features=4, deep_supervision=True)
+    model = UNet3D(cfg)
+    trained = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 16, 4)),
+        deep_outputs=True,  # how train/step.py calls it during training
+    )
+    template = params_like_for(cfg, patch=(16, 16, 16))
+    assert jax.tree_util.tree_structure(trained) == jax.tree_util.tree_structure(
+        template
+    )

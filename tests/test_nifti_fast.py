@@ -30,6 +30,42 @@ def test_matches_python_reader(case_dir):
     np.testing.assert_allclose(fast, ref, atol=1e-4)
 
 
+def test_mismatched_modality_dims_rejected(tmp_path):
+    """A case whose modalities disagree on shape must fail cleanly, not
+    write out of bounds (ADVICE round-1 high: heap corruption repro)."""
+    from brats2019_tpu.utils.nifti import write_nifti
+
+    a = tmp_path / "vol_a.nii.gz"
+    b = tmp_path / "vol_b.nii.gz"  # larger than a: OOB if trusted blindly
+    write_nifti(str(a), np.ones((16, 16, 16), np.int16))
+    write_nifti(str(b), np.ones((64, 64, 64), np.int16))
+    assert nifti_fast.load_volumes_fast([str(a), str(b)]) is None
+    # python path reads the true (differing) shapes for the same files
+    from brats2019_tpu.utils.nifti import read_nifti
+
+    assert read_nifti(str(a))[0].shape != read_nifti(str(b))[0].shape
+
+
+def test_nan_scl_slope_matches_python_reader(tmp_path):
+    """NaN scl_slope/inter mean 'unset'; native and python backends must
+    agree (ADVICE round-1 low: native used to produce all-NaN volumes)."""
+    import struct
+
+    from brats2019_tpu.utils.nifti import read_nifti, write_nifti
+
+    p = tmp_path / "nanscl.nii"
+    data = (np.arange(4 * 4 * 4, dtype=np.int16)).reshape(4, 4, 4)
+    write_nifti(str(p), data)
+    raw = bytearray(p.read_bytes())
+    struct.pack_into("<2f", raw, 112, float("nan"), float("nan"))
+    p.write_bytes(bytes(raw))
+
+    fast, _ = nifti_fast.load_volumes_fast([str(p)])
+    ref, _hdr = read_nifti(str(p), apply_scaling=True)
+    assert np.isfinite(fast).all()
+    np.testing.assert_allclose(fast[..., 0], ref.astype(np.float32))
+
+
 def test_stats_and_bbox_match(case_dir):
     paths = modality_paths(case_dir)
     fast, meta = nifti_fast.load_volumes_fast(paths)
