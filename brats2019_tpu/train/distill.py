@@ -19,13 +19,11 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..configs.presets import TrainConfig
-from ..parallel.mesh import DATA_AXIS, MeshEnv
+from ..parallel.mesh import MeshEnv
 from .loss import segmentation_loss
-from .step import TrainStep, make_optimizer
+from .step import TrainStep
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,74 +77,34 @@ def make_kd_train_step(
 ) -> TrainStep:
     """DP shard_map train step with in-graph teacher ensemble supervision.
 
-    Same pool/batch contract as train.step.make_train_step.
+    Composes train.step.make_train_step with a KD microbatch loss — one
+    sampling/accumulation/pmean implementation for both trainers, so the KD
+    path inherits grad_accum_steps and any future step machinery.
     """
-    from .step import make_train_step  # reuse the sampling machinery
+    from .step import make_train_step
 
-    tx = make_optimizer(cfg)
-    # borrow the sampling closure by constructing a bare step and rebuilding
-    # the loss; simpler: re-implement the local step inline with sampling
-    from ..data.augment import augment
-    from ..data.sampling import sample_patch_impl
-
-    def sample_local_batch(step, pool_img, pool_seg, fg_tables):
-        key = jax.random.PRNGKey(cfg.seed)
-        key = jax.random.fold_in(key, step)
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-        keys = jax.random.split(key, cfg.batch_per_device)
-
-        def sample_one(k):
-            k_case, k_patch, k_aug = jax.random.split(k, 3)
-            ci = jax.random.randint(k_case, (), 0, pool_img.shape[0])
-            img = jax.lax.dynamic_index_in_dim(pool_img, ci, keepdims=False)
-            seg = jax.lax.dynamic_index_in_dim(pool_seg, ci, keepdims=False)
-            fg = jax.lax.dynamic_index_in_dim(fg_tables, ci, keepdims=False)
-            pi, ps = sample_patch_impl(k_patch, img, seg, cfg.patch, fg, cfg.fg_prob)
-            if cfg.augment:
-                pi, ps = augment(
-                    k_aug, pi, ps,
-                    scale_range=cfg.intensity_scale,
-                    shift_range=cfg.intensity_shift,
-                )
-            return pi, ps
-
-        return jax.vmap(sample_one)(keys)
-
-    def local_step(params, opt_state, pool_img, pool_seg, fg_tables, step):
-        imgs, segs = sample_local_batch(step, pool_img, pool_seg, fg_tables)
-        segs = segs.astype(jnp.int32)
+    def kd_microbatch_loss(params, imgs, segs):
+        # teacher forward carries no gradient (stop_gradient inside
+        # ensemble_teacher_probs); one student forward serves both terms
         t_probs = ensemble_teacher_probs(
             teacher_apply_fns, teacher_params, imgs, kd.temperature
         )
+        out = student_apply(params, imgs)
+        logits, aux_logits = out if isinstance(out, tuple) else (out, None)
+        gt_loss, aux = segmentation_loss(
+            logits,
+            segs,
+            dice_weight=cfg.dice_weight,
+            ce_weight=cfg.ce_weight,
+            region_weight=cfg.region_weight,
+            aux_logits=aux_logits,
+            aux_weight=cfg.deep_supervision_weight,
+        )
+        l_kd = kd_loss(logits, t_probs, kd.temperature)
+        total = kd.gt_weight * gt_loss + kd.kd_weight * l_kd
+        aux = dict(aux, kd_loss=l_kd, loss=total)
+        return total, aux
 
-        def loss_fn(p):
-            out = student_apply(p, imgs)
-            logits, aux_logits = out if isinstance(out, tuple) else (out, None)
-            gt_loss, aux = segmentation_loss(
-                logits, segs, dice_weight=cfg.dice_weight, ce_weight=cfg.ce_weight,
-                region_weight=cfg.region_weight,
-                aux_logits=aux_logits, aux_weight=cfg.deep_supervision_weight,
-            )
-            l_kd = kd_loss(logits, t_probs, kd.temperature)
-            total = kd.gt_weight * gt_loss + kd.kd_weight * l_kd
-            aux = dict(aux, kd_loss=l_kd, loss=total)
-            return total, aux
-
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        aux = jax.lax.pmean(aux, DATA_AXIS)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        aux = dict(aux, grad_norm=optax.global_norm(grads))
-        return new_params, new_opt, aux
-
-    sharded = jax.shard_map(
-        local_step,
-        mesh=env.mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
+    return make_train_step(
+        student_apply, cfg, env, microbatch_loss=kd_microbatch_loss
     )
-    repl = NamedSharding(env.mesh, P())
-    fn = jax.jit(sharded, donate_argnums=(0, 1), out_shardings=(repl, repl, repl))
-    return TrainStep(fn=fn, tx=tx)
