@@ -91,6 +91,102 @@ def brain_bbox_np(image: np.ndarray, margin: int = 0) -> BBox:
     return BBox(tuple(lo), tuple(hi), full)
 
 
+def brain_bbox_fast_np(
+    image: np.ndarray, stride: int = 4, margin: int = 0
+) -> BBox:
+    """Fast exact brain bbox: strided pre-scan + walk-out slab refinement.
+
+    The full-resolution scan in ``brain_bbox_np`` reads the whole volume
+    (143 MB for a BraTS case — ~165 ms on this 1-core host). This version
+    scans ``image[::stride,::stride,::stride]`` (~5 ms) to bracket each
+    face, then reads full-cross-section boundary slabs, walking outward one
+    stride at a time until the extreme occupied plane lies strictly inside
+    the scanned region — recovering the EXACT per-axis extents (~15 ms).
+
+    Exactness contract: identical to ``brain_bbox_np`` whenever every
+    connected foreground component contains at least one voxel on the
+    ``stride``^3 sample grid (always true for skull-stripped brains; a
+    detached speck thinner than ``stride`` in any axis may be missed).
+    Nothing detected on the grid at all -> exact full-scan fallback.
+    Tested against the oracle in tests/test_preprocess.py.
+    """
+    full = image.shape[:3]
+    sub = image[::stride, ::stride, ::stride]
+    sub_mask = np.any(sub != 0, axis=-1) if image.ndim == 4 else sub != 0
+    if not sub_mask.any():
+        return brain_bbox_np(image, margin=margin)  # thin/empty: exact scan
+
+    def axis_any(mask: np.ndarray, ax: int) -> np.ndarray:
+        other = tuple(a for a in range(3) if a != ax)
+        return mask.any(axis=other)
+
+    def occupied_planes(ax: int, start: int, end: int) -> np.ndarray:
+        """Full-cross-section axis profile of image[start:end) along ax."""
+        sl = [slice(None)] * 3
+        sl[ax] = slice(start, end)
+        slab = image[tuple(sl)]
+        m = np.any(slab != 0, axis=-1) if image.ndim == 4 else slab != 0
+        return axis_any(m, ax)
+
+    lo, hi = [], []
+    for ax in range(3):
+        prof = axis_any(sub_mask, ax)
+        idx = np.where(prof)[0]
+        anchor_lo = int(idx[0]) * stride       # known-occupied plane
+        anchor_hi = int(idx[-1]) * stride      # known-occupied plane
+        # lo side: scan [start, anchor_lo]; extend outward while the first
+        # occupied plane sits on the slab edge (structure continues out)
+        start = max(0, anchor_lo - stride)
+        while True:
+            p = occupied_planes(ax, start, anchor_lo + 1)
+            first = start + int(np.where(p)[0][0])
+            if first > start or start == 0:
+                break
+            start = max(0, start - stride)
+        # hi side: scan [anchor_hi, end); extend while last plane on edge
+        end = min(full[ax], anchor_hi + stride + 1)
+        while True:
+            p = occupied_planes(ax, anchor_hi, end)
+            last = anchor_hi + int(np.where(p)[0][-1])
+            if last < end - 1 or end == full[ax]:
+                break
+            end = min(full[ax], end + stride)
+        lo.append(max(0, first - margin))
+        hi.append(min(full[ax], last + 1 + margin))
+    return BBox(tuple(lo), tuple(hi), full)
+
+
+def crop_cast_fit_np(
+    image: np.ndarray,
+    bbox: BBox,
+    canvas: Tuple[int, int, int],
+    dtype=None,
+) -> np.ndarray:
+    """One-pass crop -> dtype cast -> center-fit-to-canvas.
+
+    Equivalent to ``fit_to_canvas(crop_np(image, bbox).astype(dtype),
+    canvas)`` but touches each voxel once (the serving hot path: three host
+    passes -> one, ~64 ms -> ~20 ms per BraTS volume)."""
+    import ml_dtypes
+
+    dtype = dtype or np.dtype(ml_dtypes.bfloat16)
+    cshape = bbox.shape
+    out = np.zeros(tuple(canvas) + image.shape[3:], dtype=dtype)
+    src_sl, dst_sl = [], []
+    for ax in range(3):
+        s, t = cshape[ax], canvas[ax]
+        if s <= t:
+            off = (t - s) // 2
+            src_sl.append(slice(bbox.lo[ax], bbox.hi[ax]))
+            dst_sl.append(slice(off, off + s))
+        else:
+            off = (s - t) // 2
+            src_sl.append(slice(bbox.lo[ax] + off, bbox.lo[ax] + off + t))
+            dst_sl.append(slice(0, t))
+    out[tuple(dst_sl)] = image[tuple(src_sl)]
+    return out
+
+
 def crop_np(vol: np.ndarray, bbox: BBox) -> np.ndarray:
     sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
     return vol[sl]

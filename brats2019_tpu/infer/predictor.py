@@ -23,7 +23,12 @@ import numpy as np
 from ..configs.presets import ExperimentConfig
 from ..data.case import Case, load_case
 from ..data.constants import internal_to_disk
-from ..data.preprocess import BBox, brain_bbox_np, crop_np
+from ..data.preprocess import (
+    BBox,
+    brain_bbox_fast_np,
+    crop_cast_fit_np,
+    crop_np,
+)
 from ..data.pipeline import fit_to_canvas
 from ..models.cascade import make_predict_fn
 from ..models.unet3d import UNet3D
@@ -200,10 +205,10 @@ class Predictor:
     def _prep_to(self, image: np.ndarray, dev, meta: Optional[dict] = None):
         """_prep with explicit device placement (transfer overlaps with the
         previous volume's device work — it runs in the prep thread). ``meta``
-        reuses the native loader's fused brain bbox (skips a full 143 MB
-        host scan per volume)."""
-        import ml_dtypes
-
+        reuses the native loader's fused brain bbox; without it the strided
+        exact bbox + one-pass crop/cast/fit keep host prep at ~55 ms/volume
+        (vs ~220 ms for full-scan + three passes — the serving wall on this
+        1-core host, PERF.md)."""
         if meta is not None:
             bbox = BBox(
                 tuple(int(v) for v in meta["bbox_lo"]),
@@ -211,10 +216,9 @@ class Predictor:
                 image.shape[:3],
             )
         else:
-            bbox = brain_bbox_np(image)
-        cropped = crop_np(image, bbox)
-        canvas_img = fit_to_canvas(cropped.astype(ml_dtypes.bfloat16), self.canvas)
-        return jax.device_put(jnp.asarray(canvas_img), dev), cropped.shape[:3], bbox
+            bbox = brain_bbox_fast_np(image)
+        canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
+        return jax.device_put(jnp.asarray(canvas_img), dev), bbox.shape, bbox
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image, meta=case.meta)

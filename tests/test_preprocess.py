@@ -72,3 +72,71 @@ def test_pad_to_multiple():
     assert padded.shape == (64, 64, 64, 4)
     assert orig == (50, 60, 33)
     assert padded[50:].sum() == 0
+
+
+def test_brain_bbox_fast_matches_oracle():
+    """Strided+refined bbox must equal the full-scan oracle whenever the
+    structure is >= stride thick along every axis (serving-path contract)."""
+    from brats2019_tpu.data.preprocess import brain_bbox_fast_np, brain_bbox_np
+
+    rng = np.random.default_rng(0)
+    for seed in range(5):
+        img, _ = make_case_arrays(seed=seed, shape=(64, 56, 48))
+        exact = brain_bbox_np(img)
+        fast = brain_bbox_fast_np(img)
+        assert fast.lo == exact.lo and fast.hi == exact.hi
+
+    # awkward offsets: structure deliberately not aligned to the stride grid
+    img = np.zeros((40, 40, 40, 2), np.float32)
+    img[7:29, 5:31, 9:27, :] = 1.0
+    exact = brain_bbox_np(img)
+    fast = brain_bbox_fast_np(img, stride=4)
+    assert fast.lo == exact.lo and fast.hi == exact.hi
+
+    # structure touching the volume edges
+    img = np.zeros((33, 31, 37, 1), np.float32)
+    img[0:33, 2:31, 1:37, :] = 1.0
+    exact = brain_bbox_np(img)
+    fast = brain_bbox_fast_np(img, stride=4)
+    assert fast.lo == exact.lo and fast.hi == exact.hi
+
+    # empty volume falls back to the exact scan's convention
+    img = np.zeros((16, 16, 16, 4), np.float32)
+    exact = brain_bbox_np(img)
+    fast = brain_bbox_fast_np(img)
+    assert fast.lo == exact.lo and fast.hi == exact.hi
+
+    # thin structure (< stride): must still be correct via the fallback
+    img = np.zeros((32, 32, 32, 1), np.float32)
+    img[5:7, :, :, :] = 1.0  # 2 voxels thick along x, misses the s=4 grid? no:
+    # x=5,6 -> neither is a multiple of 4... sub grid samples x=4? no, 4 is 0.
+    # x in {5,6}: [::4] samples {0,4,8,...} -> misses -> fallback path
+    exact = brain_bbox_np(img)
+    fast = brain_bbox_fast_np(img, stride=4)
+    assert fast.lo == exact.lo and fast.hi == exact.hi
+
+
+def test_crop_cast_fit_matches_three_pass():
+    import ml_dtypes
+
+    from brats2019_tpu.data.pipeline import fit_to_canvas
+    from brats2019_tpu.data.preprocess import (
+        brain_bbox_np,
+        crop_cast_fit_np,
+        crop_np,
+    )
+
+    for shape, canvas in [
+        ((48, 40, 32), (40, 40, 40)),   # mixed pad/crop per axis
+        ((24, 24, 24), (32, 32, 32)),   # pure pad
+        ((48, 48, 48), (32, 32, 32)),   # pure crop
+    ]:
+        img, _ = make_case_arrays(seed=1, shape=shape)
+        bbox = brain_bbox_np(img)
+        ref = fit_to_canvas(
+            crop_np(img, bbox).astype(ml_dtypes.bfloat16), canvas
+        )
+        fused = crop_cast_fit_np(img, bbox, canvas)
+        np.testing.assert_array_equal(
+            np.asarray(ref, np.float32), np.asarray(fused, np.float32)
+        )
