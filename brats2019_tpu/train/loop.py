@@ -26,7 +26,7 @@ from ..parallel.mesh import MeshEnv, make_mesh
 from ..utils.logging import MetricsLogger
 from .checkpoint import CheckpointManager
 from .metrics import region_dice_np
-from .step import make_eval_step, make_optimizer, make_train_step
+from .step import make_batched_eval_step, make_optimizer, make_train_step
 
 
 @dataclasses.dataclass
@@ -58,13 +58,23 @@ def _validate(
     eval_step,
     params,
     val_canvases: List[Dict[str, np.ndarray]],
+    n_devices: int = 1,
 ) -> Dict[str, float]:
+    """Validation Dice over canvases, striped across local devices: batches
+    of n_devices canvases run in ONE sharded dispatch each (the last batch
+    pads by repetition; padded outputs are dropped)."""
     dices = {"WT": [], "TC": [], "ET": []}
-    for c in val_canvases:
-        pred = np.asarray(eval_step(params, jnp.asarray(c["image"])))
-        d = region_dice_np(pred, c["seg"])
-        for k in dices:
-            dices[k].append(d[k])
+    for i0 in range(0, len(val_canvases), n_devices):
+        chunk = val_canvases[i0 : i0 + n_devices]
+        n_real = len(chunk)
+        while len(chunk) < n_devices:  # pad to the mesh size
+            chunk = chunk + [chunk[-1]]
+        batch = np.stack([c["image"] for c in chunk])
+        preds = np.asarray(eval_step(params, jnp.asarray(batch)))
+        for j in range(n_real):
+            d = region_dice_np(preds[j], val_canvases[i0 + j]["seg"])
+            for k in dices:
+                dices[k].append(d[k])
     out = {f"dice_{k}": float(np.mean(v)) for k, v in dices.items()}
     out["dice_mean"] = float(np.mean([out[f"dice_{k}"] for k in dices]))
     return out
@@ -119,7 +129,7 @@ def train_stage(
         )
     else:
         train_step = make_train_step(train_apply, cfg, env)
-    eval_step = make_eval_step(apply_fn)
+    eval_step = make_batched_eval_step(apply_fn, env)
 
     ckpt = CheckpointManager(workdir, keep=cfg.keep_checkpoints)
     logger = MetricsLogger(workdir, name=f"{stage}")
@@ -186,7 +196,7 @@ def train_stage(
             )
             metric = None
             if do_eval:
-                vm = _validate(eval_step, params, val_canvases)
+                vm = _validate(eval_step, params, val_canvases, env.n_data)
                 logger.log(step + 1, vm, prefix="val_")
                 metric = vm["dice_mean"]
             if cfg.checkpoint_every and (
