@@ -36,6 +36,17 @@ from ..utils.nifti import write_nifti
 from .postprocess import postprocess_labels
 
 
+def _start_host_copy(*arrays) -> None:
+    """Kick off async device->host readback so it overlaps the next
+    volume's device work (the blocking np.asarray in the post thread then
+    finds the bytes already in flight)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            return
+
+
 @dataclasses.dataclass
 class PredictionStats:
     load_s: float
@@ -184,6 +195,7 @@ class Predictor:
                 x_dev, shape, bbox = fut.result()
                 pf, pc = self._params_on(devices[i % len(devices)])
                 labels_r, start = self._fn(pf, pc, x_dev)
+                _start_host_copy(labels_r, start)
                 posts.append(
                     post_pool.submit(self._finish, (labels_r, start), shape, bbox)
                 )
@@ -256,6 +268,7 @@ class Predictor:
                 case, x_dev, shape, bbox = fut.result()
                 pf, pc = self._params_on(devices[i % len(devices)])
                 labels_r, start = self._fn(pf, pc, x_dev)
+                _start_host_copy(labels_r, start)
                 posts.append(
                     post_pool.submit(
                         finish_and_write, case, (labels_r, start), shape, bbox, d
