@@ -31,6 +31,10 @@ def resolve_experiment(args) -> ExperimentConfig:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, seed=args.seed)
         )
+    if getattr(args, "debug_checks", False):
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, debug_checks=True)
+        )
     return exp
 
 

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kd-temperature", type=float, default=2.0)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="checkify-validate pool/patch-gather bounds at "
+                        "startup (SURVEY.md §5 sanitizers)")
     return p
 
 

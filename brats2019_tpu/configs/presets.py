@@ -58,6 +58,8 @@ class TrainConfig:
     eval_every: int = 1000
     checkpoint_every: int = 1000
     keep_checkpoints: int = 3
+    # sanitizers: checkify-validate pool fg tables at startup (§5)
+    debug_checks: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,6 +22,16 @@ import numpy as np
 
 FG_TABLE_SIZE = 4096  # fixed-size foreground coordinate table per case
 
+# When True, sample_patch_impl emits jax.experimental.checkify checks on the
+# fg-table coordinates (SURVEY.md §4.3/§5 sanitizers). Discharge them with
+# checkify.checkify(...) — see checked_sample_batch / validate_pool_sampling.
+_DEBUG_CHECKS = False
+
+
+def enable_debug_checks(on: bool = True) -> None:
+    global _DEBUG_CHECKS
+    _DEBUG_CHECKS = on
+
 
 def build_fg_table_np(seg: np.ndarray, size: int = FG_TABLE_SIZE) -> np.ndarray:
     """Host: sample ``size`` foreground voxel coords (with replacement).
@@ -74,6 +84,23 @@ def sample_patch_impl(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace-level patch extraction (composable inside larger jitted graphs)."""
     vol_shape = image.shape[:3]
+    # trace-time shape sanity: a patch larger than the pool canvas would
+    # silently clamp to a degenerate corner slice — fail loudly instead
+    for ax, (p, v) in enumerate(zip(patch, vol_shape)):
+        if p > v:
+            raise ValueError(
+                f"patch {patch} exceeds volume {vol_shape} on axis {ax}"
+            )
+    if seg.shape[:3] != vol_shape:
+        raise ValueError(f"seg shape {seg.shape} != image spatial {vol_shape}")
+    if _DEBUG_CHECKS and fg_table is not None:
+        from jax.experimental import checkify
+
+        bounds = jnp.array(vol_shape, jnp.int32)
+        checkify.check(
+            jnp.all((fg_table >= 0) & (fg_table < bounds[None, :])),
+            "fg table coordinate out of volume bounds (mis-sized table?)",
+        )
     origin = _random_origin(key, vol_shape, patch, fg_table, fg_prob)
     img = jax.lax.dynamic_slice(
         image,
@@ -102,3 +129,35 @@ def sample_batch(
     keys = jax.random.split(key, batch)
     fn = lambda k: sample_patch(k, image, seg, patch, fg_table, fg_prob)
     return jax.vmap(fn)(keys)
+
+
+def checked_sample_batch(
+    key: jax.Array,
+    image: jnp.ndarray,
+    seg: jnp.ndarray,
+    patch: Tuple[int, int, int],
+    batch: int,
+    fg_table: Optional[jnp.ndarray] = None,
+    fg_prob: float = 0.5,
+):
+    """sample_batch with checkify bounds checks DISCHARGED: raises
+    ValueError on a bad fg table instead of silently clamping. Used by the
+    --debug-checks startup validation (train CLI) and tests."""
+    from jax.experimental import checkify
+
+    global _DEBUG_CHECKS
+    prev = _DEBUG_CHECKS
+    _DEBUG_CHECKS = True
+    try:
+        def fn(k):
+            keys = jax.random.split(k, batch)
+            one = lambda kk: sample_patch_impl(
+                kk, image, seg, patch, fg_table, fg_prob
+            )
+            return jax.vmap(one)(keys)
+
+        err, out = checkify.checkify(fn)(key)
+    finally:
+        _DEBUG_CHECKS = prev
+    err.throw()
+    return out

@@ -80,6 +80,29 @@ def _validate(
     return out
 
 
+def _validate_pool_sampling(pool: CasePool, cfg: TrainConfig) -> None:
+    """--debug-checks startup sanitizer (SURVEY.md §5): discharge checkify
+    bounds checks on every local pool slot's fg table + one real sampled
+    patch, so a mis-built pool fails loudly before step 0 instead of
+    silently clamping inside the jitted step."""
+    from ..data.sampling import checked_sample_batch
+
+    for dev_i in range(len(pool.devices)):
+        for slot in range(pool.k_local):
+            img = pool._shards["image"][dev_i][slot]
+            seg = pool._shards["seg"][dev_i][slot]
+            fg = pool._shards["fg"][dev_i][slot]
+            checked_sample_batch(
+                jax.random.PRNGKey(0),
+                jnp.asarray(img),
+                jnp.asarray(seg),
+                tuple(cfg.patch),
+                batch=1,
+                fg_table=jnp.asarray(fg),
+                fg_prob=1.0,  # force the fg path so the table is exercised
+            )
+
+
 def train_stage(
     exp: ExperimentConfig,
     case_dirs: Sequence[str],
@@ -142,6 +165,9 @@ def train_stage(
         downsample=downsample,
         seed=cfg.seed,
     )
+    if cfg.debug_checks:
+        _validate_pool_sampling(pool, cfg)
+        print(f"[{stage}] --debug-checks: pool sampling bounds OK", flush=True)
 
     start_step = 0
     restored = ckpt.restore(params, opt_state)

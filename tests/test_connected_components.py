@@ -57,3 +57,44 @@ def test_postprocess_device_backend():
     )
     assert out[0, 0, 0] == 0
     assert (out[4:12, 4:12, 4:12] == 2).all()
+
+
+def test_many_components_overflow_kept():
+    """With more components than the top-k bound, unmatched components must
+    be KEPT by the filter (conservative +inf size), never silently dropped."""
+    import jax.numpy as jnp
+
+    from brats2019_tpu.ops.connected_components import (
+        component_sizes,
+        label_components,
+    )
+
+    # 4^3 = 64 isolated single-voxel components on a sparse grid
+    vol = np.zeros((16, 16, 16), bool)
+    vol[1::4, 1::4, 1::4] = True
+    comp = np.asarray(label_components(jnp.asarray(vol)))
+    assert len(np.unique(comp[comp > 0])) == 64
+    sizes = np.asarray(component_sizes(jnp.asarray(comp), max_components=16))
+    fg_sizes = sizes[comp > 0]
+    # 16 measured as size 1; the rest read huge (kept by any filter)
+    assert ((fg_sizes == 1) | (fg_sizes >= 2**30)).all()
+    assert (fg_sizes >= 2**30).sum() == (64 - 16)
+    assert (sizes[comp == 0] == 0).all()
+
+
+def test_pointer_jump_converges_on_snake():
+    """A long thin snake (diameter ~ N^2) must converge well within the
+    128-iteration cap thanks to pointer jumping."""
+    import jax.numpy as jnp
+
+    from brats2019_tpu.ops.connected_components import label_components
+
+    vol = np.zeros((1, 24, 24), bool)
+    # boustrophedon path: one connected snake of length ~ 24*12
+    for r in range(0, 24, 2):
+        vol[0, r, :] = True
+        if r + 1 < 24:
+            vol[0, r + 1, 23 if (r // 2) % 2 == 0 else 0] = True
+    comp = np.asarray(label_components(jnp.asarray(vol)))
+    ids = np.unique(comp[vol])
+    assert len(ids) == 1  # one component, fully merged

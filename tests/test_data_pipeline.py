@@ -141,3 +141,29 @@ def test_case_cursor_default_matches_single_host():
     assert [a.next_index() for _ in range(20)] == [
         b.next_index() for _ in range(20)
     ]
+
+
+def test_checked_sampling_bounds():
+    """checkify sanitizer (SURVEY.md §5): a corrupt fg table raises; a good
+    one passes; an oversized patch fails at trace time."""
+    import pytest
+
+    from brats2019_tpu.data.sampling import checked_sample_batch, sample_patch
+
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(24, 24, 24, 4)),
+                      jnp.float32)
+    seg = jnp.zeros((24, 24, 24), jnp.uint8)
+    good = jnp.full((16, 3), 12, jnp.int32)
+    out = checked_sample_batch(
+        jax.random.PRNGKey(0), img, seg, (8, 8, 8), 2, good, 1.0
+    )
+    assert out[0].shape == (2, 8, 8, 8, 4)
+
+    bad = jnp.full((16, 3), 99, jnp.int32)  # way outside the 24^3 volume
+    with pytest.raises(Exception, match="out of volume bounds"):
+        checked_sample_batch(
+            jax.random.PRNGKey(0), img, seg, (8, 8, 8), 2, bad, 1.0
+        )
+
+    with pytest.raises(ValueError, match="exceeds volume"):
+        sample_patch(jax.random.PRNGKey(0), img, seg, (32, 8, 8), good, 0.5)

@@ -87,3 +87,68 @@ def test_distributed_tile_sweep_pads_work_items(env):
     got = np.asarray(fn(x))
     np.testing.assert_allclose(got[..., 1], 1.0, atol=1e-5)
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_distributed_tile_sweep_with_flips(env):
+    """flips x tiles striped over the mesh == single-device 8-flip TTA mean
+    of blended sweeps (the flagship serving decomposition)."""
+    def tile_probs(patch):
+        v = patch[..., :1]
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    vol_shape = (16, 16, 8)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=vol_shape + (4,)), jnp.float32
+    )
+    origins = tile_origins(vol_shape, (8, 8, 8), overlap=0.5)
+    w = blend_weight((8, 8, 8), "gaussian")
+
+    # oracle: mean over the 8 flips of flip->sweep->unflip
+    refs = []
+    for f in range(8):
+        fx, fy, fz = f & 1, (f >> 1) & 1, (f >> 2) & 1
+        flip = lambda a: jnp.flip(
+            jnp.flip(jnp.flip(a, 0) if fx else a, 1)
+            if fy else (jnp.flip(a, 0) if fx else a),
+            2,
+        ) if fz else (
+            jnp.flip(jnp.flip(a, 0) if fx else a, 1)
+            if fy else (jnp.flip(a, 0) if fx else a)
+        )
+        xf = flip(x)
+        sw = sliding_window_probs(
+            tile_probs, xf, origins, (8, 8, 8), jnp.asarray(w), 4
+        )
+        refs.append(flip(sw))
+    ref = jnp.mean(jnp.stack(refs), axis=0)
+
+    fn = distributed_tile_sweep(
+        tile_probs, env, vol_shape, origins, (8, 8, 8), w, 4, n_flips=8
+    )
+    got = fn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_distributed_tile_sweep_roi_restricted(env):
+    """Origins covering only a sub-box: probs outside the ROI stay zero and
+    inside match the oracle (the psum is ROI-sized, VERDICT weak #8)."""
+    def tile_probs(patch):
+        v = patch[..., :1]
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    vol_shape = (32, 16, 8)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=vol_shape + (4,)), jnp.float32
+    )
+    # sweep only the x in [8, 24) slab
+    origins = np.array([[8, 0, 0], [16, 8, 0], [12, 4, 0]], np.int32)
+    w = blend_weight((8, 8, 8), "gaussian")
+    ref = sliding_window_probs(
+        tile_probs, x, origins, (8, 8, 8), jnp.asarray(w), 4
+    )
+    fn = distributed_tile_sweep(
+        tile_probs, env, vol_shape, origins, (8, 8, 8), w, 4
+    )
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+    assert (got[:8] == 0).all() and (got[24:] == 0).all()
