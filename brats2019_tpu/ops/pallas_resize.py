@@ -137,8 +137,14 @@ def _down_plane_t(g: jnp.ndarray) -> jnp.ndarray:
         sh[axis] //= 2
         sh.insert(axis + 1, 2)
         gs = g.reshape(sh)
-        even = jnp.take(gs, 0, axis=axis + 1)  # g[2h]
-        odd = jnp.take(gs, 1, axis=axis + 1)   # g[2h+1]
+        # static integer indexing (slice+reshape) — jnp.take lowers to a
+        # gather Mosaic doesn't support inside kernels
+        sl_e = [slice(None)] * gs.ndim
+        sl_e[axis + 1] = 0
+        sl_o = [slice(None)] * gs.ndim
+        sl_o[axis + 1] = 1
+        even = gs[tuple(sl_e)]  # g[2h]
+        odd = gs[tuple(sl_o)]   # g[2h+1]
         # g[2h+2] = even shifted down (zero past the end); g[2h-1] = odd
         # shifted up (zero before the start). Size-1 axes: both neighbors
         # are out of range -> zeros (Mosaic rejects 0-sized slices).
@@ -188,12 +194,20 @@ def _up_bwd_kernel(gm_ref, ge_ref, go_ref, gp_ref, o_ref):
     i==0 the (2i-1)->0 clamp makes gm==g[0], so g[0]'s total coefficient
     is 0.75+0.25 = 1.0 — exactly the forward's replicate-clamp transpose;
     symmetrically at i==D-1 with gp (verified against AD of the jnp oracle
-    in tests)."""
-    gm = _down_plane_t(gm_ref[0, 0].astype(jnp.float32))  # g[2i-1]
-    ge = _down_plane_t(ge_ref[0, 0].astype(jnp.float32))  # g[2i]
-    go = _down_plane_t(go_ref[0, 0].astype(jnp.float32))  # g[2i+1]
-    gp = _down_plane_t(gp_ref[0, 0].astype(jnp.float32))  # g[2i+2]
-    o_ref[0, 0] = (0.75 * (ge + go) + 0.25 * (gp + gm)).astype(o_ref.dtype)
+    in tests).
+
+    Accumulation dtype follows the cotangent dtype: f32 cotangents (tests,
+    fp32 training) get exact f32 math; bf16 cotangents (mixed-precision
+    production, where the surrounding grads are bf16 anyway) stay bf16 so
+    the intermediates fit the 16 MB VMEM budget at (64,64,128)-sized grad
+    planes (f32 temps measured 18.1 MB scoped — OOM)."""
+    acc_dt = jnp.float32 if gm_ref.dtype == jnp.float32 else jnp.bfloat16
+    gm = _down_plane_t(gm_ref[0, 0].astype(acc_dt))  # g[2i-1]
+    ge = _down_plane_t(ge_ref[0, 0].astype(acc_dt))  # g[2i]
+    go = _down_plane_t(go_ref[0, 0].astype(acc_dt))  # g[2i+1]
+    gp = _down_plane_t(gp_ref[0, 0].astype(acc_dt))  # g[2i+2]
+    # python-float scalars are weakly typed: math stays in acc_dt
+    o_ref[0, 0] = ((ge + go) * 0.75 + (gp + gm) * 0.25).astype(o_ref.dtype)
 
 
 def _upsample2x_bwd_impl(x_shape, x_dtype, g: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,13 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-_BACKEND = "auto"  # auto = pallas on real TPU, jnp elsewhere (PERF.md A/B)
+# Default backend: jnp. The A/B (PERF.md "Pallas trilinear resize") found
+# the Pallas kernels 4-26x faster STANDALONE, but inside the fused predict
+# program XLA wins (119 vs 134 ms/volume, interleaved same-session rounds)
+# — the same in-graph-fusion lesson as ops/pallas_norm.py. "pallas" stays a
+# tested backend for layout-controlled standalone callers; "auto" currently
+# resolves to jnp everywhere.
+_BACKEND = "jnp"
 
 
 def _on_tpu() -> bool:
@@ -42,7 +48,7 @@ def set_backend(name: str) -> None:
 
 def get_backend() -> str:
     if _BACKEND == "auto":
-        return "pallas" if _on_tpu() else "jnp"
+        return "jnp"  # measured in-graph winner on TPU too (PERF.md)
     return _BACKEND
 
 
