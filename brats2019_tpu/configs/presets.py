@@ -88,6 +88,12 @@ class InferenceConfig:
     # bigger than the tile (sliding window then covers the ROI)
     roi_shape: Tuple[int, int, int] = (128, 128, 128)
     compute_dtype: str = "bfloat16"
+    # serving transfer path: ship only the brain-bbox crop (extents rounded
+    # up to this bucket) over the host->device link and embed it into the
+    # zero canvas on-device — bitwise-identical to shipping the full canvas,
+    # ~40% fewer bytes on a BraTS brain (the tunnel-bound e2e lever,
+    # PERF.md). 0 = ship the full canvas.
+    transfer_bucket: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

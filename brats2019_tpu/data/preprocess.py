@@ -187,6 +187,48 @@ def crop_cast_fit_np(
     return out
 
 
+def crop_cast_bucket_np(
+    image: np.ndarray,
+    bbox: BBox,
+    canvas: Tuple[int, int, int],
+    bucket: int = 16,
+    dtype=None,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Bucketed-crop half of the split canvas fit (serving transfer path).
+
+    Returns ``(small, dst)`` such that embedding ``small`` into a zero
+    canvas at offset ``dst`` reproduces ``crop_cast_fit_np(image, bbox,
+    canvas, dtype)`` bitwise. ``small``'s extents are the bbox extents
+    rounded up to ``bucket`` (clamped to stay inside the canvas), so only
+    the brain region crosses the host->device link (~40%% fewer bytes on a
+    BraTS brain vs shipping the whole canvas) while the jit cache sees at
+    most a handful of distinct small-shapes. The device side is
+    ``lax.dynamic_update_slice`` into a zero canvas (Predictor._embed).
+    """
+    import ml_dtypes
+
+    dtype = dtype or np.dtype(ml_dtypes.bfloat16)
+    shape, dst, src_sl, copy_len = [], [], [], []
+    for ax in range(3):
+        s, t = bbox.shape[ax], canvas[ax]
+        if s <= t:
+            off = (t - s) // 2
+            n = min(-(-s // bucket) * bucket, t - off)
+            src_sl.append(slice(bbox.lo[ax], bbox.hi[ax]))
+            dst.append(off)
+            shape.append(n)
+            copy_len.append(s)
+        else:  # bbox wider than canvas: trim (mirrors crop_cast_fit_np)
+            off = (s - t) // 2
+            src_sl.append(slice(bbox.lo[ax] + off, bbox.lo[ax] + off + t))
+            dst.append(0)
+            shape.append(t)
+            copy_len.append(t)
+    small = np.zeros(tuple(shape) + image.shape[3:], dtype=dtype)
+    small[: copy_len[0], : copy_len[1], : copy_len[2]] = image[tuple(src_sl)]
+    return small, (dst[0], dst[1], dst[2])
+
+
 def crop_np(vol: np.ndarray, bbox: BBox) -> np.ndarray:
     sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
     return vol[sl]

@@ -26,6 +26,7 @@ from ..data.constants import internal_to_disk
 from ..data.preprocess import (
     BBox,
     brain_bbox_fast_np,
+    crop_cast_bucket_np,
     crop_cast_fit_np,
     crop_np,
 )
@@ -94,6 +95,22 @@ class Predictor:
             num_classes=exp.unet.num_classes,
             coarse_apply=coarse_apply,
         )
+        # transfer-path embed: only the (bucketed) brain bbox crosses the
+        # host->device link; this places it into the zero canvas on-device.
+        # dst is a traced argument so offsets don't multiply cache entries;
+        # the main predict program still sees ONE static canvas shape.
+        canvas_shape = self.canvas
+
+        @jax.jit
+        def _embed(small, dst):
+            zeros = jnp.zeros(
+                canvas_shape + small.shape[3:], dtype=small.dtype
+            )
+            return jax.lax.dynamic_update_slice(
+                zeros, small, (dst[0], dst[1], dst[2], jnp.int32(0))
+            )
+
+        self._embed = _embed
 
     def predict_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
@@ -229,8 +246,17 @@ class Predictor:
             )
         else:
             bbox = brain_bbox_fast_np(image)
-        canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
-        return jax.device_put(jnp.asarray(canvas_img), dev), bbox.shape, bbox
+        bucket = self.exp.infer.transfer_bucket
+        if bucket:
+            small, dst = crop_cast_bucket_np(image, bbox, self.canvas, bucket)
+            small_dev = jax.device_put(jnp.asarray(small), dev)
+            dst_dev = jax.device_put(np.asarray(dst, np.int32), dev)
+            canvas_img = self._embed(small_dev, dst_dev)
+        else:
+            canvas_img = jax.device_put(
+                jnp.asarray(crop_cast_fit_np(image, bbox, self.canvas)), dev
+            )
+        return canvas_img, bbox.shape, bbox
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image, meta=case.meta)

@@ -140,3 +140,38 @@ def test_crop_cast_fit_matches_three_pass():
         np.testing.assert_array_equal(
             np.asarray(ref, np.float32), np.asarray(fused, np.float32)
         )
+
+
+def test_crop_cast_bucket_embed_matches_fit():
+    """Bucketed transfer split (crop_cast_bucket_np + canvas embed) must be
+    bitwise-identical to crop_cast_fit_np — the serving transfer path ships
+    only the bucketed bbox and embeds on-device (Predictor._embed)."""
+    from brats2019_tpu.data.preprocess import (
+        brain_bbox_np,
+        crop_cast_bucket_np,
+        crop_cast_fit_np,
+    )
+
+    for shape, canvas, bucket in [
+        ((48, 40, 32), (40, 40, 40), 16),  # mixed pad/crop per axis
+        ((24, 24, 24), (32, 32, 32), 16),  # pure pad
+        ((48, 48, 48), (32, 32, 32), 8),   # pure crop (trim)
+        ((31, 29, 27), (32, 32, 32), 16),  # bucket clamps at canvas edge
+        ((32, 32, 32), (32, 32, 32), 16),  # exact fit
+    ]:
+        img, _ = make_case_arrays(seed=2, shape=shape)
+        bbox = brain_bbox_np(img)
+        ref = crop_cast_fit_np(img, bbox, canvas)
+        small, dst = crop_cast_bucket_np(img, bbox, canvas, bucket)
+        # numpy-embed small into a zero canvas at dst
+        out = np.zeros_like(ref)
+        sl = tuple(
+            slice(d, d + n) for d, n in zip(dst, small.shape[:3])
+        )
+        out[sl] = small
+        np.testing.assert_array_equal(
+            np.asarray(ref, np.float32), np.asarray(out, np.float32)
+        )
+        assert all(
+            d + n <= c for d, n, c in zip(dst, small.shape[:3], canvas)
+        )
