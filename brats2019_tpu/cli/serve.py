@@ -1,0 +1,185 @@
+"""``serve`` — long-running prediction daemon (production serving surface).
+
+Usage:
+    python -m brats2019_tpu.cli.serve <watch_root> [--preset cascade]
+        [--workdir DIR] [--output-dir DIR] [--poll 0.5] [--once]
+
+Watches ``watch_root`` for BraTS case directories appearing (all four
+modality files present and size-stable across one poll interval), runs the
+pipelined predictor on each arrival batch — NIfTI decode, host->device
+transfer, the compiled cascade+TTA program, and postprocess/write all
+overlap (infer/predictor.py) — and writes ``<case>_pred.nii.gz`` plus one
+JSONL completion record per case to ``<output-dir>/serve_log.jsonl``.
+
+The reference has no serving story beyond one-shot ``predict`` (SURVEY.md
+C17); this is the TPU-deployment counterpart: params stay committed on
+device across requests (no reload, no recompile), new work is picked up
+within one poll interval, and SIGTERM/SIGINT drain in-flight cases before
+exit. ``--once`` processes what is present and exits (used by tests and
+batch jobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import signal
+import sys
+import time
+
+from ..configs.presets import PRESETS
+from ..data.case import discover_cases, modality_paths
+from .common import load_stage_params, resolve_experiment
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="brats2019_tpu.serve", description=__doc__)
+    p.add_argument("watch_root", help="directory where case dirs appear")
+    p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--output-dir", default=None,
+                   help="write predictions+log here instead of the case dirs")
+    p.add_argument("--poll", type=float, default=0.5,
+                   help="seconds between watch-root scans")
+    p.add_argument("--once", action="store_true",
+                   help="drain current cases and exit")
+    p.add_argument("--no-tta", action="store_true")
+    p.add_argument("--no-cascade", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def _case_ready(case_dir: str, sizes: dict) -> bool:
+    """All 4 modalities exist and their sizes did not change since the last
+    scan (an uploader mid-copy never has a stable size across a poll)."""
+    try:
+        cur = tuple(os.path.getsize(p) for p in modality_paths(case_dir))
+    except OSError:
+        return False
+    prev = sizes.get(case_dir)
+    sizes[case_dir] = cur
+    return prev == cur
+
+
+class Server:
+    def __init__(self, exp, output_dir=None):
+        params_fine = load_stage_params(exp, "fine")
+        params_coarse = None
+        if exp.infer.cascade and exp.coarse_unet is not None:
+            try:
+                params_coarse = load_stage_params(exp, "coarse")
+            except FileNotFoundError:
+                print("serve: no coarse checkpoint; cascade off",
+                      file=sys.stderr)
+                exp = dataclasses.replace(
+                    exp, infer=dataclasses.replace(exp.infer, cascade=False)
+                )
+        from ..infer.predictor import Predictor
+
+        self.exp = exp
+        self.predictor = Predictor(exp, params_fine, params_coarse)
+        self.output_dir = output_dir
+        self.log_path = os.path.join(
+            output_dir or ".", "serve_log.jsonl"
+        )
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        self.done = set()
+        self._stop = False
+
+    def request_stop(self, *_):
+        self._stop = True
+
+    @property
+    def stopping(self) -> bool:
+        return self._stop
+
+    def process_batch(self, case_dirs) -> list:
+        """Run one pipelined batch; returns output paths (predict_dirs —
+        decode/device/write overlap across the batch)."""
+        t0 = time.time()
+        if self.output_dir:
+            outs = []
+            for d in case_dirs:  # redirect writes out of the watch tree
+                labels_path = os.path.join(
+                    self.output_dir, os.path.basename(d) + "_pred.nii.gz"
+                )
+                outs.append(self._predict_to(d, labels_path))
+        else:
+            outs = self.predictor.predict_dirs(case_dirs)
+        wall = time.time() - t0
+        with open(self.log_path, "a") as f:
+            for d, o in zip(case_dirs, outs):
+                rec = {
+                    "case": os.path.basename(d),
+                    "output": o,
+                    "batch_size": len(case_dirs),
+                    "batch_wall_s": round(wall, 3),
+                    "ts": time.time(),
+                }
+                f.write(json.dumps(rec) + "\n")
+        self.done.update(case_dirs)
+        print(
+            f"serve: {len(case_dirs)} case(s) in {wall:.2f}s "
+            f"({len(case_dirs) / wall:.3f} vol/s)",
+            flush=True,
+        )
+        return outs
+
+    def _predict_to(self, case_dir: str, output_path: str) -> str:
+        out, _ = self.predictor.predict_dir(case_dir, output_path)
+        return out
+
+    def scan(self, watch_root: str, sizes: dict) -> list:
+        return [
+            d
+            for d in discover_cases(watch_root)
+            if d not in self.done and _case_ready(d, sizes)
+        ]
+
+    def run(self, watch_root: str, poll: float, once: bool) -> int:
+        sizes: dict = {}
+        if once:
+            self.scan(watch_root, sizes)  # prime size table
+            ready = self.scan(watch_root, sizes)
+            if ready:
+                self.process_batch(ready)
+            return 0
+        print(f"serve: watching {watch_root} (poll {poll}s)", flush=True)
+        while not self._stop:
+            ready = self.scan(watch_root, sizes)
+            if ready:
+                self.process_batch(ready)
+            else:
+                time.sleep(poll)
+        print("serve: drained, exiting", flush=True)
+        return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    exp = resolve_experiment(args)
+    infer = exp.infer
+    if args.no_tta:
+        infer = dataclasses.replace(infer, tta_flips=False)
+    if args.no_cascade:
+        infer = dataclasses.replace(infer, cascade=False)
+    exp = dataclasses.replace(exp, infer=infer)
+
+    try:
+        server = Server(exp, output_dir=args.output_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    signal.signal(signal.SIGTERM, server.request_stop)
+    signal.signal(signal.SIGINT, server.request_stop)
+    return server.run(args.watch_root, args.poll, args.once)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

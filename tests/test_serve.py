@@ -1,0 +1,88 @@
+"""Serving daemon (cli/serve.py): watch-dir ingest readiness, drain-once
+processing, JSONL completion log, and the stop signal path."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from brats2019_tpu.cli import serve as cli_serve
+from brats2019_tpu.cli import train as cli_train
+from brats2019_tpu.utils.nifti import read_nifti
+
+
+def test_case_ready_requires_stable_sizes(tmp_path):
+    """A case mid-upload (file sizes still changing) must not be picked up."""
+    from brats2019_tpu.data.synthetic import write_case
+
+    case = str(tmp_path / "BraTS19_SYN_000_1")
+    write_case(case, seed=0, shape=(16, 16, 16))
+    sizes = {}
+    # first sight: sizes unknown -> not ready (primes the table)
+    assert not cli_serve._case_ready(case, sizes)
+    # second sight, unchanged -> ready
+    assert cli_serve._case_ready(case, sizes)
+    # a file grows (upload in progress) -> not ready again
+    t1 = os.path.join(case, os.path.basename(case) + "_t1.nii.gz")
+    with open(t1, "ab") as f:
+        f.write(b"x" * 10)
+    assert not cli_serve._case_ready(case, sizes)
+    assert cli_serve._case_ready(case, sizes)
+    # missing modality -> never ready
+    os.remove(t1)
+    assert not cli_serve._case_ready(case, sizes)
+
+
+@pytest.mark.slow
+def test_serve_once_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape", "32", "32", "32",
+        "--preset", "unit", "--steps", "3", "--checkpoint-every", "2",
+        "--workdir", workdir,
+    ])
+    assert rc == 0
+
+    # incoming cases appear in the watch root (reuse the synthetic ones)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    for name in ("BraTS19_SYN_000_1", "BraTS19_SYN_001_1"):
+        shutil.copytree(os.path.join(data, name), watch / name)
+    out_dir = str(tmp_path / "served")
+
+    rc = cli_serve.main([
+        str(watch), "--preset", "unit", "--workdir", workdir,
+        "--output-dir", out_dir, "--once",
+    ])
+    assert rc == 0
+
+    log = [
+        json.loads(l)
+        for l in open(os.path.join(out_dir, "serve_log.jsonl"))
+    ]
+    assert {r["case"] for r in log} == {
+        "BraTS19_SYN_000_1", "BraTS19_SYN_001_1"
+    }
+    for r in log:
+        seg, _ = read_nifti(r["output"], apply_scaling=False)
+        assert seg.shape == (32, 32, 32)
+        assert set(np.unique(seg)) <= {0, 1, 2, 4}
+    # predictions went to --output-dir, never into the watch tree
+    assert not any(
+        f.endswith("_pred.nii.gz")
+        for d in watch.iterdir() if d.is_dir()
+        for f in os.listdir(d)
+    )
+
+
+def test_serve_stop_signal_drains():
+    """request_stop flips the loop condition (SIGTERM handler target)."""
+    s = object.__new__(cli_serve.Server)  # no model needed for this check
+    s._stop = False
+    assert not s.stopping
+    s.request_stop()
+    assert s.stopping
