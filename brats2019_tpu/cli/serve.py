@@ -86,8 +86,23 @@ class Server:
         )
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
-        self.done = set()
+        self.done = self._load_done()
         self._stop = False
+
+    def _load_done(self) -> set:
+        """Replay the completion log so a restarted daemon skips served AND
+        quarantined cases (a poison case must never crash-loop)."""
+        done = set()
+        try:
+            with open(self.log_path) as f:
+                for line in f:
+                    try:
+                        done.add(json.loads(line)["case"])
+                    except (ValueError, KeyError):
+                        continue
+        except OSError:
+            pass
+        return done
 
     def request_stop(self, *_):
         self._stop = True
@@ -96,53 +111,80 @@ class Server:
     def stopping(self) -> bool:
         return self._stop
 
-    def process_batch(self, case_dirs) -> list:
-        """Run one pipelined batch; returns output paths (predict_dirs —
-        decode/device/write overlap across the batch)."""
-        t0 = time.time()
-        if self.output_dir:
-            outs = []
-            for d in case_dirs:  # redirect writes out of the watch tree
-                labels_path = os.path.join(
-                    self.output_dir, os.path.basename(d) + "_pred.nii.gz"
-                )
-                outs.append(self._predict_to(d, labels_path))
-        else:
-            outs = self.predictor.predict_dirs(case_dirs)
-        wall = time.time() - t0
+    def _out_paths(self, case_dirs):
+        if not self.output_dir:
+            return None
+        return [
+            os.path.join(self.output_dir, os.path.basename(d) + "_pred.nii.gz")
+            for d in case_dirs
+        ]
+
+    def _log(self, records) -> None:
         with open(self.log_path, "a") as f:
-            for d, o in zip(case_dirs, outs):
-                rec = {
-                    "case": os.path.basename(d),
-                    "output": o,
-                    "batch_size": len(case_dirs),
-                    "batch_wall_s": round(wall, 3),
-                    "ts": time.time(),
-                }
+            for rec in records:
                 f.write(json.dumps(rec) + "\n")
-        self.done.update(case_dirs)
+
+    def process_batch(self, case_dirs) -> list:
+        """Run one pipelined batch (predict_dirs — decode/device/write
+        overlap across the batch). A failing case is isolated by retrying
+        the batch case-by-case; failures are quarantined (logged with an
+        ``error`` field, marked done) so one corrupt upload can neither
+        kill the daemon nor crash-loop it on restart."""
+        t0 = time.time()
+        try:
+            outs = self.predictor.predict_dirs(
+                case_dirs, output_paths=self._out_paths(case_dirs)
+            )
+            errs = [None] * len(case_dirs)
+        except Exception:
+            outs, errs = [], []
+            for d in case_dirs:  # isolate the poison case
+                try:
+                    o = self.predictor.predict_dirs(
+                        [d], output_paths=self._out_paths([d])
+                    )[0]
+                    outs.append(o)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine anything
+                    outs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+        wall = time.time() - t0
+        records = []
+        for d, o, e in zip(case_dirs, outs, errs):
+            rec = {
+                "case": os.path.basename(d),
+                "output": o,
+                "batch_size": len(case_dirs),
+                "batch_wall_s": round(wall, 3),
+                "ts": time.time(),
+            }
+            if e is not None:
+                rec["error"] = e
+                print(f"serve: QUARANTINED {d}: {e}", file=sys.stderr,
+                      flush=True)
+            records.append(rec)
+        self._log(records)
+        self.done.update(os.path.basename(d) for d in case_dirs)
+        ok = sum(1 for e in errs if e is None)
         print(
-            f"serve: {len(case_dirs)} case(s) in {wall:.2f}s "
+            f"serve: {ok}/{len(case_dirs)} case(s) in {wall:.2f}s "
             f"({len(case_dirs) / wall:.3f} vol/s)",
             flush=True,
         )
         return outs
 
-    def _predict_to(self, case_dir: str, output_path: str) -> str:
-        out, _ = self.predictor.predict_dir(case_dir, output_path)
-        return out
-
     def scan(self, watch_root: str, sizes: dict) -> list:
         return [
             d
             for d in discover_cases(watch_root)
-            if d not in self.done and _case_ready(d, sizes)
+            if os.path.basename(d) not in self.done and _case_ready(d, sizes)
         ]
 
     def run(self, watch_root: str, poll: float, once: bool) -> int:
         sizes: dict = {}
         if once:
             self.scan(watch_root, sizes)  # prime size table
+            time.sleep(poll)  # a mid-upload case must see sizes change
             ready = self.scan(watch_root, sizes)
             if ready:
                 self.process_batch(ready)

@@ -28,9 +28,7 @@ from ..data.preprocess import (
     brain_bbox_fast_np,
     crop_cast_bucket_np,
     crop_cast_fit_np,
-    crop_np,
 )
-from ..data.pipeline import fit_to_canvas
 from ..models.cascade import make_predict_fn
 from ..models.unet3d import UNet3D
 from ..utils.nifti import write_nifti
@@ -261,13 +259,16 @@ class Predictor:
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image, meta=case.meta)
 
-    def predict_dirs(self, case_dirs) -> list:
+    def predict_dirs(self, case_dirs, output_paths=None) -> list:
         """Pipelined multi-case CLI path: NIfTI decode (native threaded
         loader), device execution, postprocess + NIfTI write all overlap.
-        Returns output paths."""
+        ``output_paths[i]`` overrides where case i's prediction is written
+        (default: ``<case_dir>/<case>_pred.nii.gz``). Returns output paths."""
         from concurrent.futures import ThreadPoolExecutor
 
         devices = jax.local_devices()
+        if output_paths is None:
+            output_paths = [None] * len(case_dirs)
 
         def load_and_prep(i_d):
             i, d = i_d
@@ -277,10 +278,11 @@ class Predictor:
             )
             return case, x_dev, shape, bbox
 
-        def finish_and_write(case, fetched, shape, bbox, case_dir):
+        def finish_and_write(case, fetched, shape, bbox, case_dir, out):
             labels = self._finish(fetched, shape, bbox)
             disk = internal_to_disk(labels).astype(np.uint8)
-            out = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
+            if out is None:
+                out = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
             write_nifti(out, disk, like=case.header)
             return out
 
@@ -297,7 +299,8 @@ class Predictor:
                 _start_host_copy(labels_r, start)
                 posts.append(
                     post_pool.submit(
-                        finish_and_write, case, (labels_r, start), shape, bbox, d
+                        finish_and_write, case, (labels_r, start), shape,
+                        bbox, d, output_paths[i],
                     )
                 )
             return [p.result() for p in posts]

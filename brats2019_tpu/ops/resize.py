@@ -33,13 +33,6 @@ import jax.numpy as jnp
 _BACKEND = "jnp"
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu",)
-    except Exception:
-        return False
-
-
 def set_backend(name: str) -> None:
     global _BACKEND
     assert name in ("jnp", "pallas", "auto")

@@ -73,8 +73,12 @@ def initialize_distributed() -> None:
     """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    # ORDER MATTERS: this must run before anything initializes the XLA
+    # backends — jax.process_count()/jax.devices() here would make
+    # jax.distributed.initialize() below always raise. Only backend-free
+    # checks (env vars, is_initialized) are allowed before initialize().
+    if jax.distributed.is_initialized():
+        return  # already brought up by the launcher
 
     declared = any(
         os.environ.get(v)

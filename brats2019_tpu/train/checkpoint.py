@@ -67,15 +67,29 @@ class CheckpointManager:
             # async — orbax writes to a tmp dir and renames atomically, so
             # restore_best_params never sees a half-written state
             self._best_ckptr.wait_until_finished()
+            self._flush_best_metric()  # previous save has now committed
             self._best_ckptr.save(
                 best_path, {"params": params, "step": step}, force=True
             )
+            # metric.json must never LEAD the async state on disk (a crash
+            # would freeze best forever: high metric recorded, old params);
+            # record it as pending and write only after a commit barrier.
+            # The stale-low direction after a crash is benign — a later
+            # best-save merely overwrites with a near-best checkpoint.
+            self._pending_best = {"metric": metric, "step": step}
+
+    def _flush_best_metric(self) -> None:
+        """Write the pending best metric; call ONLY after the best-save
+        commit is guaranteed (wait_until_finished)."""
+        if getattr(self, "_pending_best", None) is not None:
             with open(os.path.join(self.best_dir, "metric.json"), "w") as f:
-                json.dump({"metric": metric, "step": step}, f)
+                json.dump(self._pending_best, f)
+            self._pending_best = None
 
     def wait(self) -> None:
         self.mgr.wait_until_finished()
         self._best_ckptr.wait_until_finished()
+        self._flush_best_metric()
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
@@ -112,6 +126,7 @@ class CheckpointManager:
     def close(self) -> None:
         self.mgr.wait_until_finished()
         self._best_ckptr.wait_until_finished()
+        self._flush_best_metric()
         self.mgr.close()
         self._best_ckptr.close()
 

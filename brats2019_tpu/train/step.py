@@ -211,20 +211,26 @@ def make_eval_step(apply_fn: Callable) -> Callable:
 
 
 def make_batched_eval_step(apply_fn: Callable, env: MeshEnv) -> Callable:
-    """Whole-canvas eval sharded over local devices: (B, X, Y, Z, C) with B
-    a multiple of the mesh size -> (B, X, Y, Z) uint8 labels. Validation at
-    eval steps runs all canvases in one dispatch instead of serially on
-    device 0 (VERDICT round-1 weak: eval stalls the train loop)."""
+    """Whole-canvas eval sharded over the mesh: (B, X, Y, Z, C) with B a
+    multiple of the mesh size -> (B, X, Y, Z) uint8 labels, fully
+    REPLICATED. Validation at eval steps runs all canvases in one dispatch
+    instead of serially on device 0 (VERDICT round-1 weak: eval stalls the
+    train loop). The closing all_gather makes the output addressable on
+    every host — a P(DATA_AXIS) output would span non-addressable devices
+    on a multi-host slice and np.asarray on it would raise — and every
+    host scores the identical full batch, so best-checkpoint decisions
+    stay consistent across processes."""
 
     def local(params, images):
         logits = apply_fn(params, images)
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        return jax.lax.all_gather(labels, DATA_AXIS, tiled=True)
 
     sharded = jax.shard_map(
         local,
         mesh=env.mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -60,6 +60,17 @@ def _ensure_lib():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    # ABI handshake: a stale .so (make failed above but an old build
+    # exists) must never be called through these argtypes — signature
+    # drift corrupts memory. Missing symbol or version mismatch -> pure-
+    # Python fallback.
+    _ABI_VERSION = 2  # keep in sync with FN_ABI_VERSION in fastnifti.cpp
+    try:
+        lib.fn_abi_version.restype = ctypes.c_int
+        if lib.fn_abi_version() != _ABI_VERSION:
+            return None
+    except AttributeError:
+        return None
     lib.fn_probe.argtypes = [ctypes.c_char_p, ctypes.c_int64 * 3]
     lib.fn_probe.restype = ctypes.c_int
     lib.fn_read_case.argtypes = [

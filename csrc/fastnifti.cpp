@@ -130,6 +130,13 @@ inline float decode_at(const unsigned char* data, int64_t idx, bool swapped) {
 
 extern "C" {
 
+// ABI handshake: the ctypes wrapper refuses to call into a library whose
+// version differs from the one its argtypes describe (a stale .so + new
+// wrapper would otherwise corrupt memory — e.g. the expect-dims parameter
+// added to fn_read_case). Bump on EVERY exported-signature or struct change.
+enum { FN_ABI_VERSION = 2 };
+int fn_abi_version(void) { return FN_ABI_VERSION; }
+
 struct FNInfo {
   int64_t dims[3];
   double sum, sumsq;

@@ -86,3 +86,60 @@ def test_serve_stop_signal_drains():
     assert not s.stopping
     s.request_stop()
     assert s.stopping
+
+
+@pytest.mark.slow
+def test_serve_quarantines_poison_case_and_skips_on_restart(
+    tmp_path, monkeypatch
+):
+    """A corrupt case must be quarantined (logged with an error, other
+    cases still served) and never reprocessed by a restarted daemon."""
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape", "32", "32", "32",
+        "--preset", "unit", "--steps", "3", "--checkpoint-every", "2",
+        "--workdir", workdir,
+    ])
+    assert rc == 0
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    shutil.copytree(
+        os.path.join(data, "BraTS19_SYN_000_1"), watch / "BraTS19_SYN_000_1"
+    )
+    poison = watch / "BraTS19_SYN_666_1"
+    shutil.copytree(os.path.join(data, "BraTS19_SYN_001_1"), poison)
+    for f in os.listdir(poison):  # corrupt every modality: truncated gzip
+        (poison / f).rename(poison / f.replace("BraTS19_SYN_001_1",
+                                               "BraTS19_SYN_666_1"))
+    t1 = poison / "BraTS19_SYN_666_1_t1.nii.gz"
+    t1.write_bytes(t1.read_bytes()[:100])
+
+    out_dir = str(tmp_path / "served")
+    rc = cli_serve.main([
+        str(watch), "--preset", "unit", "--workdir", workdir,
+        "--output-dir", out_dir, "--once", "--poll", "0.05",
+    ])
+    assert rc == 0
+    log = [
+        json.loads(l)
+        for l in open(os.path.join(out_dir, "serve_log.jsonl"))
+    ]
+    by_case = {r["case"]: r for r in log}
+    assert by_case["BraTS19_SYN_000_1"]["output"] is not None
+    assert by_case["BraTS19_SYN_666_1"]["output"] is None
+    assert "error" in by_case["BraTS19_SYN_666_1"]
+
+    # restart: replayed log marks both done; nothing is reprocessed
+    exp = cli_serve.resolve_experiment(
+        cli_serve.build_parser().parse_args(
+            [str(watch), "--preset", "unit", "--workdir", workdir]
+        )
+    )
+    server = cli_serve.Server(exp, output_dir=out_dir)
+    assert server.done == {"BraTS19_SYN_000_1", "BraTS19_SYN_666_1"}
+    sizes = {}
+    server.scan(str(watch), sizes)
+    assert server.scan(str(watch), sizes) == []
