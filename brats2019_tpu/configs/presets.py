@@ -94,6 +94,11 @@ class InferenceConfig:
     # ~40% fewer bytes on a BraTS brain (the tunnel-bound e2e lever,
     # PERF.md). 0 = ship the full canvas.
     transfer_bucket: int = 16
+    # "bfloat16" (default, bitwise-equal to f32-cast path) or "int8":
+    # per-modality max-magnitude quantization, halves the link bytes
+    # again — lossy (~0.8%-of-max intensity steps), absorbed by the
+    # on-device z-score up to rounding; for link-bound serving only
+    transfer_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -229,6 +229,23 @@ def crop_cast_bucket_np(
     return small, (dst[0], dst[1], dst[2])
 
 
+def quantize_int8_per_modality(small: np.ndarray) -> np.ndarray:
+    """Lossy int8 transfer encoding: scale each modality to [-127, 127] by
+    its max magnitude and round. Halves the host->device bytes vs bf16.
+
+    No scale factor needs to travel with the data: the device-side
+    per-modality masked z-score (C2) is invariant to any positive
+    per-modality scale, so dequantization is just a cast. Zeros (background)
+    stay exactly zero. Error = intensity quantization at ~0.8% of each
+    modality's max — NOT bitwise-identical to the bf16 path; opt-in via
+    ``InferenceConfig.transfer_dtype="int8"`` for link-bound serving
+    (measured mask agreement in PERF.md)."""
+    m = np.abs(small.reshape(-1, small.shape[-1]).astype(np.float32)).max(axis=0)
+    m[m == 0] = 1.0
+    scale = (127.0 / m).astype(np.float32)
+    return np.rint(small.astype(np.float32) * scale).astype(np.int8)
+
+
 def crop_np(vol: np.ndarray, bbox: BBox) -> np.ndarray:
     sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
     return vol[sl]

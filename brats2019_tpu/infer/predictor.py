@@ -28,6 +28,7 @@ from ..data.preprocess import (
     brain_bbox_fast_np,
     crop_cast_bucket_np,
     crop_cast_fit_np,
+    quantize_int8_per_modality,
 )
 from ..models.cascade import make_predict_fn
 from ..models.unet3d import UNet3D
@@ -101,9 +102,11 @@ class Predictor:
 
         @jax.jit
         def _embed(small, dst):
-            zeros = jnp.zeros(
-                canvas_shape + small.shape[3:], dtype=small.dtype
-            )
+            # int8 transfer encoding dequantizes by cast alone (the in-graph
+            # per-modality z-score is scale-invariant); embed in bf16 so the
+            # main predict program sees ONE input dtype either way
+            small = small.astype(jnp.bfloat16)
+            zeros = jnp.zeros(canvas_shape + small.shape[3:], small.dtype)
             return jax.lax.dynamic_update_slice(
                 zeros, small, (dst[0], dst[1], dst[2], jnp.int32(0))
             )
@@ -247,6 +250,8 @@ class Predictor:
         bucket = self.exp.infer.transfer_bucket
         if bucket:
             small, dst = crop_cast_bucket_np(image, bbox, self.canvas, bucket)
+            if self.exp.infer.transfer_dtype == "int8":
+                small = quantize_int8_per_modality(small)
             small_dev = jax.device_put(jnp.asarray(small), dev)
             dst_dev = jax.device_put(np.asarray(dst, np.int32), dev)
             canvas_img = self._embed(small_dev, dst_dev)

@@ -191,3 +191,37 @@ def test_predict_dir_writes_nifti(tmp_path):
     seg, hdr = read_nifti(out, apply_scaling=False)
     assert seg.shape == (32, 32, 24)
     assert set(np.unique(seg)) <= {0, 1, 2, 4}  # disk labels
+
+
+def test_int8_transfer_encoding():
+    """int8 transfer: z-score invariance to the per-modality scale (the
+    dequantization contract) and the opt-in predictor path."""
+    import dataclasses
+
+    from brats2019_tpu.data.preprocess import (
+        quantize_int8_per_modality,
+        zscore_np,
+    )
+
+    image, _ = make_case_arrays(seed=7, shape=(40, 36, 28))
+    q = quantize_int8_per_modality(image.astype(np.float32))
+    assert q.dtype == np.int8
+    # background stays exactly zero; foreground survives
+    assert ((image == 0) == (q == 0)).mean() > 0.999
+    # z-score absorbs the scale: quantized-then-zscored matches raw zscore
+    # up to rounding. One int8 step is (max/127)/std in z units — ~0.12-0.21
+    # on these volumes — so worst-case error is ~half a step, RMS far less.
+    za = zscore_np(image.astype(np.float32))
+    zb = zscore_np(q.astype(np.float32))
+    d = np.abs(za - zb)
+    assert d.max() < 0.25 and np.sqrt((d**2).mean()) < 0.05
+
+    # predictor opt-in: runs end-to-end, masks near-identical to bf16 path
+    exp = _make_exp(False)
+    params = _init_params()
+    a, _ = Predictor(exp, params).predict_arrays(image)
+    exp8 = dataclasses.replace(
+        exp, infer=dataclasses.replace(exp.infer, transfer_dtype="int8")
+    )
+    b, _ = Predictor(exp8, params).predict_arrays(image)
+    assert (a == b).mean() > 0.98
