@@ -64,11 +64,12 @@ def load_stage_params(
     unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
     assert unet_cfg is not None
     workdir = os.path.join(exp.workdir, stage)
-    npz = os.path.join(workdir, "params.npz")
     like = params_like_for(unet_cfg)
     like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
-    if os.path.exists(npz):
-        return import_params(npz, like)
+    for fname in ("params.safetensors", "params.npz"):
+        exported = os.path.join(workdir, fname)
+        if os.path.exists(exported):
+            return import_params(exported, like)
     ckpt = CheckpointManager(workdir)
     try:
         if prefer_best:

@@ -2,12 +2,13 @@
 
 Usage:
     python -m brats2019_tpu.cli.export --preset cascade [--workdir DIR]
-        [--stage fine|coarse|all]
+        [--stage fine|coarse|all] [--format npz|safetensors]
 
 Exports inference-only parameters from the stage checkpoints to
-``<workdir>/<stage>/params.npz`` — the flat, dependency-free interchange
-format the predict CLI loads fastest (no orbax restore machinery at serving
-time).
+``<workdir>/<stage>/params.{npz,safetensors}`` — flat interchange formats
+the predict/serve CLIs load fastest (no orbax restore machinery at serving
+time). safetensors (SURVEY.md §5) is zero-copy mmap'd; npz is
+dependency-free.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
     p.add_argument("--workdir", default=None)
     p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
+    p.add_argument("--format", default="npz", choices=("npz", "safetensors"))
     return p
 
 
@@ -45,7 +47,7 @@ def main(argv=None) -> int:
             print(f"warning: {e}", file=sys.stderr)
             rc = 1
             continue
-        out = os.path.join(exp.workdir, stage, "params.npz")
+        out = os.path.join(exp.workdir, stage, f"params.{args.format}")
         os.makedirs(os.path.dirname(out), exist_ok=True)
         export_params(out, params)
         print(f"[export] {stage} -> {out}", flush=True)

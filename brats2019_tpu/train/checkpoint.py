@@ -131,28 +131,40 @@ class CheckpointManager:
         self._best_ckptr.close()
 
 
+def _flat_key(kp) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+
 def export_params(path: str, params: Any) -> None:
-    """Export inference-only params (for the predict CLI) as a flat npz —
-    a dependency-free interchange format (safetensors would also work)."""
+    """Export inference-only params (for the predict/serve CLIs) flat:
+    ``.safetensors`` (SURVEY.md §5 — zero-copy mmap'd interchange) or
+    ``.npz`` (dependency-free), chosen by extension."""
     import numpy as np
 
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    out = {}
-    for kp, leaf in flat:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        out[key] = np.asarray(leaf)
-    np.savez(path, **out)
+    out = {_flat_key(kp): np.asarray(leaf) for kp, leaf in flat}
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file(out, path)
+    else:
+        np.savez(path, **out)
 
 
 def import_params(path: str, params_like: Any) -> Any:
     """Inverse of export_params against a template pytree."""
     import numpy as np
 
-    data = np.load(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        data = load_file(path)
+    else:
+        data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params_like)
     leaves = []
     for kp, like in flat:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        key = _flat_key(kp)
         arr = data[key]
         assert arr.shape == like.shape, f"{key}: {arr.shape} != {like.shape}"
         leaves.append(arr.astype(like.dtype))

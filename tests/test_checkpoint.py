@@ -86,3 +86,23 @@ def test_cursor_determinism():
     # each epoch is a permutation of all cases
     assert sorted(seq[:5]) == list(range(5))
     assert sorted(seq[5:10]) == list(range(5))
+
+
+def test_export_import_safetensors_roundtrip(tmp_path):
+    """SURVEY.md §5: safetensors export for inference-only params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brats2019_tpu.models import UNet3D, UNetConfig
+
+    model = UNet3D(UNetConfig(levels=2, base_features=4))
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 8, 4)))
+    path = str(tmp_path / "params.safetensors")
+    export_params(path, params)
+    like = jax.tree_util.tree_map(lambda x: jnp.zeros(x.shape, x.dtype), params)
+    back = import_params(path, like)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
