@@ -49,12 +49,33 @@ def tta_probs(
         logits = apply_fn(params, tile[None])[0]
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     store_dt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    tile = tile.astype(store_dt)
-    tiles = jnp.stack([flip_volume(tile, f) for f in FLIPS])
+    tiles = tta_stack(tile, precision)
     logits = apply_fn(params, tiles)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    probs = probs.astype(store_dt)
-    acc = jnp.zeros(tile.shape[:3] + (probs.shape[-1],), jnp.float32)
+    return tta_reduce(probs.astype(store_dt))
+
+
+def tta_stack(tile: jnp.ndarray, precision: str = "float32") -> jnp.ndarray:
+    """The 8 flip variants of one tile, stacked into a batch of 8.
+
+    TPU layout note (PERF.md "TTA flip layout"): a spatial-permutation
+    producer (lax.rev OR gather) poisons the layout of everything
+    downstream — the SAME b8 forward measures 81 ms from a canonically
+    laid-out input and 104 ms from a flip-stack, and optimization_barrier
+    does not stop layout propagation. The barrier below still buys ~25 ms
+    vs letting the reverses fuse into the first conv (129 -> 104 ms
+    standalone); the full fix is a jit boundary between the stack and the
+    forward (jit RESULTS get the canonical layout) — models/cascade.py
+    splits the single-tile cascade predict program exactly there."""
+    store_dt = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    tile = tile.astype(store_dt)
+    tiles = jnp.stack([flip_volume(tile, f) for f in FLIPS])
+    return jax.lax.optimization_barrier(tiles)
+
+
+def tta_reduce(probs: jnp.ndarray) -> jnp.ndarray:
+    """Un-flip the per-variant probability maps and average (f32 acc)."""
+    acc = jnp.zeros(probs.shape[1:], jnp.float32)
     for i, f in enumerate(FLIPS):
         acc = acc + flip_volume(probs[i], f).astype(jnp.float32)
     return acc * (1.0 / len(FLIPS))

@@ -32,6 +32,7 @@ def make_predict_fn(
     canvas: Tuple[int, int, int],
     num_classes: int = 4,
     coarse_apply: Optional[Callable] = None,
+    allow_split: bool = True,
 ):
     """Build the jitted whole-canvas predictor.
 
@@ -51,6 +52,18 @@ def make_predict_fn(
     roi = tuple(min(r, c) for r, c in zip(cfg.roi_shape, canvas))
     sweep_shape = roi if use_cascade else canvas
     origins_np = tile_origins(sweep_shape, tile, cfg.overlap)
+
+    # flagship fast path: single-tile ROI + 8-flip TTA is split into TWO
+    # chained programs at the flip-stack so the b8 forward consumes a
+    # canonically laid-out jit RESULT — any spatial-permutation producer
+    # (rev/gather) inside one program re-lays-out the conv input and costs
+    # ~23 ms/volume on v5e even behind an optimization_barrier (PERF.md
+    # "TTA flip layout"). Blending is skipped: with one origin the
+    # weight-normalized canvas equals the tile probs exactly.
+    split_tta = (
+        allow_split and use_cascade and cfg.tta_flips
+        and len(origins_np) == 1 and tuple(roi) == tile
+    )
 
     def fine_tile_probs(params, patch):
         return tta_probs(
@@ -103,7 +116,63 @@ def make_predict_fn(
             return labels_r, start
         return labels_r, jnp.zeros((3,), jnp.int32)
 
-    return jax.jit(predict)
+    if not split_tta:
+        return jax.jit(predict)
+
+    from ..infer.tta import tta_reduce, tta_stack
+
+    store_dt = (
+        jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32
+    )
+
+    def stage_roi(params_coarse, image):
+        """z-score + coarse localization + ROI slice + flip-stack."""
+        image = zscore(image.astype(jnp.float32))
+        coarse_in = resize_trilinear(image, cfg.coarse_shape)
+        logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
+        tumor = jnp.argmax(logits_c, axis=-1) > 0
+        center_c = mask_bbox_center(tumor)
+        scale = jnp.array(
+            [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
+        )
+        center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
+        start = centered_crop_start(center, roi, canvas)
+        o = (start[0], start[1], start[2], jnp.int32(0))
+        region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
+        return tta_stack(region, cfg.tta_precision), start
+
+    def stage_fine(params_fine, tiles):
+        """Pure b8 TTA forward + softmax — NO spatial permutations in this
+        program: the unflips live in stage_reduce behind another jit
+        boundary, because reverses poison the conv layouts from the output
+        side exactly as from the input side (PERF.md)."""
+        logits = fine_apply(params_fine, tiles)
+        probs8 = jax.nn.softmax(logits.astype(jnp.float32), -1)
+        return probs8.astype(store_dt)
+
+    def stage_reduce(probs8, start):
+        """Unflip + mean + argmax (+ device postproc). ``start`` is
+        threaded through so every output depends on the whole chain — a
+        fetch of either output synchronizes all three programs."""
+        probs = tta_reduce(probs8)
+        labels_r = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        if cfg.postproc == "device":
+            labels_r = _postprocess_device(
+                labels_r, cfg.min_component_voxels, cfg.et_min_voxels
+            )
+        return labels_r, start
+
+    j_roi = jax.jit(stage_roi)
+    j_fine = jax.jit(stage_fine)
+    j_reduce = jax.jit(stage_reduce)
+
+    def predict_split(params_fine, params_coarse, image):
+        tiles, start = j_roi(params_coarse, image)
+        probs8 = j_fine(params_fine, tiles)
+        return j_reduce(probs8, start)
+
+    predict_split.stages = (j_roi, j_fine, j_reduce)  # for stage profiling
+    return predict_split
 
 
 def _postprocess_device(

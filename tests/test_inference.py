@@ -225,3 +225,39 @@ def test_int8_transfer_encoding():
     )
     b, _ = Predictor(exp8, params).predict_arrays(image)
     assert (a == b).mean() > 0.98
+
+
+def test_split_tta_matches_monolithic():
+    """The two-program flagship fast path (flip-stack at a jit boundary;
+    PERF.md 'TTA flip layout') must match the monolithic predict program:
+    same cascade handoff, same probs up to the skipped blend mul/div."""
+    from brats2019_tpu.models.cascade import make_predict_fn
+
+    cfg = InferenceConfig(
+        canvas=None,
+        tile=(16, 16, 16),
+        cascade=True,
+        tta_flips=True,
+        coarse_shape=(16, 16, 16),
+        roi_shape=(16, 16, 16),  # roi == tile, single origin -> split path
+        min_component_voxels=0,
+        et_min_voxels=0,
+        compute_dtype="float32",
+        tta_precision="float32",
+    )
+    model = UNet3D(UCFG)
+    apply = lambda p, x: model.apply(p, x)
+    pf, pc = _init_params(0), _init_params(1)
+    canvas = (32, 32, 32)
+    fn_split = make_predict_fn(apply, cfg, canvas, coarse_apply=apply)
+    fn_mono = make_predict_fn(
+        apply, cfg, canvas, coarse_apply=apply, allow_split=False
+    )
+    image = jnp.asarray(
+        make_case_arrays(seed=11, shape=canvas)[0], jnp.float32
+    )
+    la, sa = fn_split(pf, pc, image)
+    lb, sb = fn_mono(pf, pc, image)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    # identical up to float-tie flips from the skipped (p*w)/w round trip
+    assert (np.asarray(la) == np.asarray(lb)).mean() > 0.999
