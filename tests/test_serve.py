@@ -143,3 +143,49 @@ def test_serve_quarantines_poison_case_and_skips_on_restart(
     sizes = {}
     server.scan(str(watch), sizes)
     assert server.scan(str(watch), sizes) == []
+
+
+@pytest.mark.slow
+def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
+    """Daemon loop: a case dropped AFTER startup is picked up within the
+    poll cadence; request_stop drains the loop."""
+    import threading
+    import time
+
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape", "32", "32", "32",
+        "--preset", "unit", "--steps", "3", "--checkpoint-every", "2",
+        "--workdir", workdir,
+    ])
+    assert rc == 0
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out_dir = str(tmp_path / "served")
+    exp = cli_serve.resolve_experiment(
+        cli_serve.build_parser().parse_args(
+            [str(watch), "--preset", "unit", "--workdir", workdir]
+        )
+    )
+    server = cli_serve.Server(exp, output_dir=out_dir)
+    t = threading.Thread(
+        target=server.run, args=(str(watch), 0.05, False), daemon=True
+    )
+    t.start()
+    time.sleep(0.3)  # daemon idling on an empty root
+    shutil.copytree(
+        os.path.join(data, "BraTS19_SYN_000_1"), watch / "BraTS19_SYN_000_1"
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not server.done:
+        time.sleep(0.2)
+    server.request_stop()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert server.done == {"BraTS19_SYN_000_1"}
+    assert os.path.exists(
+        os.path.join(out_dir, "BraTS19_SYN_000_1_pred.nii.gz")
+    )
