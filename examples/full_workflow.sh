@@ -26,4 +26,10 @@ echo "== 4. score predictions (Dice WT/TC/ET) =="
 python -m brats2019_tpu.cli.evaluate "$DATA" --preset cascade \
     --workdir "$RUN" --use-existing --out "$ROOT/metrics.json"
 
-echo "done; metrics at $ROOT/metrics.json"
+echo "== 5. serve: drain a watch directory once (daemon mode: drop --once) =="
+mkdir -p "$ROOT/incoming" "$ROOT/served"
+cp -r "$DATA"/BraTS19_SYN_000_1 "$ROOT/incoming/"
+python -m brats2019_tpu.cli.serve "$ROOT/incoming" --preset cascade \
+    --workdir "$RUN" --output-dir "$ROOT/served" --once
+
+echo "done; metrics at $ROOT/metrics.json; served at $ROOT/served"
