@@ -190,7 +190,16 @@ class Server:
                 self.process_batch(ready)
             return 0
         print(f"serve: watching {watch_root} (poll {poll}s)", flush=True)
+        hb_path = os.path.join(self.output_dir or ".", "serve_heartbeat.json")
+        last_hb = 0.0
         while not self._stop:
+            now = time.time()
+            if now - last_hb >= max(poll, 5.0):  # liveness for supervisors
+                tmp = hb_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"ts": now, "done": len(self.done)}, f)
+                os.replace(tmp, hb_path)
+                last_hb = now
             ready = self.scan(watch_root, sizes)
             if ready:
                 self.process_batch(ready)
