@@ -54,22 +54,39 @@ def params_like_for(unet_cfg: UNetConfig, patch=(32, 32, 32)):
 
 
 def load_stage_params(
-    exp: ExperimentConfig, stage: str, prefer_best: bool = True
+    exp: ExperimentConfig, stage: str, prefer_best: bool = True,
+    from_checkpoint_only: bool = False,
 ):
     """Load trained params for a stage from its checkpoint directory.
 
-    Accepts either the orbax checkpoints under ``<workdir>/<stage>`` or an
-    exported ``params.npz`` (train/checkpoint.py export_params).
-    """
+    Accepts the orbax checkpoints under ``<workdir>/<stage>`` or an
+    exported ``params.{safetensors,npz}`` (train/checkpoint.py
+    export_params). When both exported files exist the NEWEST by mtime
+    wins (a fixed preference order would silently serve stale weights
+    after retrain+re-export); ``from_checkpoint_only`` skips exported
+    files entirely — the export CLI uses it so re-exporting always reads
+    the current checkpoint, never a previous export."""
+    import sys
+
     unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
     assert unet_cfg is not None
     workdir = os.path.join(exp.workdir, stage)
     like = params_like_for(unet_cfg)
     like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
-    for fname in ("params.safetensors", "params.npz"):
-        exported = os.path.join(workdir, fname)
-        if os.path.exists(exported):
-            return import_params(exported, like)
+    if not from_checkpoint_only:
+        exported = [
+            p
+            for p in (
+                os.path.join(workdir, "params.safetensors"),
+                os.path.join(workdir, "params.npz"),
+            )
+            if os.path.exists(p)
+        ]
+        if exported:
+            newest = max(exported, key=os.path.getmtime)
+            print(f"[params] {stage}: loading exported {newest}",
+                  file=sys.stderr, flush=True)
+            return import_params(newest, like)
     ckpt = CheckpointManager(workdir)
     try:
         if prefer_best:

@@ -42,7 +42,9 @@ def main(argv=None) -> int:
     rc = 0
     for stage in stages:
         try:
-            params = load_stage_params(exp, stage)
+            # never read a previous export here: re-export must reflect
+            # the CURRENT checkpoint, not shadow it with stale weights
+            params = load_stage_params(exp, stage, from_checkpoint_only=True)
         except FileNotFoundError as e:
             print(f"warning: {e}", file=sys.stderr)
             rc = 1

@@ -190,23 +190,34 @@ class Server:
                 self.process_batch(ready)
             return 0
         print(f"serve: watching {watch_root} (poll {poll}s)", flush=True)
-        hb_path = os.path.join(self.output_dir or ".", "serve_heartbeat.json")
-        last_hb = 0.0
+        self._last_hb = 0.0
         while not self._stop:
-            now = time.time()
-            if now - last_hb >= max(poll, 5.0):  # liveness for supervisors
-                tmp = hb_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"ts": now, "done": len(self.done)}, f)
-                os.replace(tmp, hb_path)
-                last_hb = now
+            self._heartbeat(poll)
             ready = self.scan(watch_root, sizes)
             if ready:
-                self.process_batch(ready)
+                # bounded chunks so the heartbeat stays fresh under a
+                # burst — a supervisor must not kill a busy-but-healthy
+                # daemon mid-batch (staleness bound ~= 8 x per-case time)
+                for i0 in range(0, len(ready), 8):
+                    self.process_batch(ready[i0 : i0 + 8])
+                    self._heartbeat(poll)
+                    if self._stop:
+                        break
             else:
                 time.sleep(poll)
         print("serve: drained, exiting", flush=True)
         return 0
+
+    def _heartbeat(self, poll: float) -> None:
+        now = time.time()
+        if now - getattr(self, "_last_hb", 0.0) < max(poll, 5.0):
+            return
+        hb_path = os.path.join(self.output_dir or ".", "serve_heartbeat.json")
+        tmp = hb_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ts": now, "done": len(self.done)}, f)
+        os.replace(tmp, hb_path)
+        self._last_hb = now
 
 
 def main(argv=None) -> int:

@@ -69,6 +69,11 @@ class Predictor:
         canvas: Optional[Tuple[int, int, int]] = None,
     ):
         self.exp = exp
+        if exp.infer.transfer_dtype not in ("bfloat16", "int8"):
+            raise ValueError(
+                f"transfer_dtype must be 'bfloat16' or 'int8', got "
+                f"{exp.infer.transfer_dtype!r}"
+            )
         self.canvas = tuple(canvas or exp.infer.canvas or exp.train.pool_shape)
         fine_model = UNet3D(exp.unet)
         fine_apply = lambda p, x: fine_model.apply(p, x)
@@ -248,12 +253,28 @@ class Predictor:
         else:
             bbox = brain_bbox_fast_np(image)
         bucket = self.exp.infer.transfer_bucket
+        int8 = self.exp.infer.transfer_dtype == "int8"
         if bucket:
-            small, dst = crop_cast_bucket_np(image, bbox, self.canvas, bucket)
-            if self.exp.infer.transfer_dtype == "int8":
+            # int8 quantizes from f32 so the bucketed and full-canvas
+            # encodings are bitwise-identical (same nonzero set -> same
+            # per-modality scale); bf16 path casts during the crop
+            small, dst = crop_cast_bucket_np(
+                image, bbox, self.canvas, bucket,
+                dtype=np.float32 if int8 else None,
+            )
+            if int8:
                 small = quantize_int8_per_modality(small)
             small_dev = jax.device_put(jnp.asarray(small), dev)
             dst_dev = jax.device_put(np.asarray(dst, np.int32), dev)
+            canvas_img = self._embed(small_dev, dst_dev)
+        elif int8:
+            # full-canvas transfer still honors the int8 encoding: quantize
+            # the whole canvas and dequantize via the embed's cast
+            small = quantize_int8_per_modality(
+                crop_cast_fit_np(image, bbox, self.canvas, dtype=np.float32)
+            )
+            small_dev = jax.device_put(jnp.asarray(small), dev)
+            dst_dev = jax.device_put(np.zeros(3, np.int32), dev)
             canvas_img = self._embed(small_dev, dst_dev)
         else:
             canvas_img = jax.device_put(

@@ -23,7 +23,7 @@ from ..configs.presets import InferenceConfig
 from ..data.preprocess import centered_crop_start, mask_bbox_center, zscore
 from ..ops.resize import resize_trilinear
 from ..infer.tiling import blend_weight, sliding_window_probs, tile_origins
-from ..infer.tta import tta_probs
+from ..infer.tta import tta_probs, tta_reduce, tta_stack
 
 
 def make_predict_fn(
@@ -118,8 +118,6 @@ def make_predict_fn(
 
     if not split_tta:
         return jax.jit(predict)
-
-    from ..infer.tta import tta_reduce, tta_stack
 
     store_dt = (
         jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32

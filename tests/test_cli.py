@@ -58,3 +58,46 @@ def test_train_cli_errors():
 
 def test_predict_cli_errors(tmp_path):
     assert cli_predict.main([str(tmp_path)]) == 2  # no cases found
+
+
+def test_load_stage_params_prefers_newest_export_and_checkpoint_only(
+    tmp_path, monkeypatch
+):
+    """A retrain+re-export must never be shadowed by a stale exported file:
+    newest-by-mtime wins among exports, and from_checkpoint_only skips
+    exports entirely (the export CLI's path)."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brats2019_tpu.cli.common import load_stage_params
+    from brats2019_tpu.configs import get_preset
+    import dataclasses
+
+    from brats2019_tpu.models import UNet3D
+    from brats2019_tpu.train.checkpoint import export_params
+
+    exp = dataclasses.replace(get_preset("unit"), workdir=str(tmp_path))
+    model = UNet3D(exp.unet)
+    p_old = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 4)))
+    p_new = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 8, 4)))
+    stage_dir = tmp_path / "fine"
+    stage_dir.mkdir()
+    export_params(str(stage_dir / "params.safetensors"), p_old)
+    time.sleep(0.05)
+    export_params(str(stage_dir / "params.npz"), p_new)
+    os.utime(stage_dir / "params.npz")  # strictly newer
+
+    loaded = load_stage_params(exp, "fine")
+    ref = jax.tree_util.tree_leaves(p_new)[0]
+    got = jax.tree_util.tree_leaves(loaded)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # checkpoint-only mode ignores both exports (no checkpoint -> not found)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_stage_params(exp, "fine", from_checkpoint_only=True)

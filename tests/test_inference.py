@@ -226,6 +226,22 @@ def test_int8_transfer_encoding():
     b, _ = Predictor(exp8, params).predict_arrays(image)
     assert (a == b).mean() > 0.98
 
+    # int8 must also apply on the full-canvas (bucket=0) transfer path
+    exp8b0 = dataclasses.replace(
+        exp8, infer=dataclasses.replace(exp8.infer, transfer_bucket=0)
+    )
+    c, _ = Predictor(exp8b0, params).predict_arrays(image)
+    np.testing.assert_array_equal(b, c)  # same quantized input either way
+
+    # unknown transfer_dtype fails fast
+    import pytest
+
+    bad = dataclasses.replace(
+        exp, infer=dataclasses.replace(exp.infer, transfer_dtype="Int8")
+    )
+    with pytest.raises(ValueError):
+        Predictor(bad, params)
+
 
 def test_split_tta_matches_monolithic():
     """The two-program flagship fast path (flip-stack at a jit boundary;
