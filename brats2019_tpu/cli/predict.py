@@ -3,6 +3,7 @@
 Usage:
     python -m brats2019_tpu.cli.predict <case_dir_or_root> [--preset cascade]
         [--workdir DIR] [--output PATH] [--no-tta] [--no-cascade]
+        [--transfer-dtype bfloat16|int8] [--postproc host|device]
 
 Points at a BraTS case directory (or a root of several), loads the trained
 stage checkpoints, and writes ``<case>_pred.nii.gz`` with BraTS disk labels
@@ -30,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output path (single-case mode only)")
     p.add_argument("--no-tta", action="store_true")
     p.add_argument("--no-cascade", action="store_true")
+    p.add_argument("--transfer-dtype", default=None,
+                   choices=("bfloat16", "int8"),
+                   help="host->device encoding: int8 halves link bytes "
+                        "(lossy, ~99.999%% mask agreement; PERF.md)")
+    p.add_argument("--postproc", default=None, choices=("host", "device"),
+                   help="where C16 connected-components runs")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -45,6 +52,10 @@ def main(argv=None) -> int:
         infer = dataclasses.replace(infer, tta_flips=False)
     if args.no_cascade:
         infer = dataclasses.replace(infer, cascade=False)
+    if args.transfer_dtype:
+        infer = dataclasses.replace(infer, transfer_dtype=args.transfer_dtype)
+    if args.postproc:
+        infer = dataclasses.replace(infer, postproc=args.postproc)
     exp = dataclasses.replace(exp, infer=infer)
 
     cases = discover_cases(args.case_dir)

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drain current cases and exit")
     p.add_argument("--no-tta", action="store_true")
     p.add_argument("--no-cascade", action="store_true")
+    p.add_argument("--transfer-dtype", default=None,
+                   choices=("bfloat16", "int8"),
+                   help="host->device encoding: int8 halves link bytes "
+                        "(lossy, ~99.999%% mask agreement; PERF.md)")
+    p.add_argument("--postproc", default=None, choices=("host", "device"),
+                   help="where C16 connected-components runs")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -231,6 +237,10 @@ def main(argv=None) -> int:
         infer = dataclasses.replace(infer, tta_flips=False)
     if args.no_cascade:
         infer = dataclasses.replace(infer, cascade=False)
+    if args.transfer_dtype:
+        infer = dataclasses.replace(infer, transfer_dtype=args.transfer_dtype)
+    if args.postproc:
+        infer = dataclasses.replace(infer, postproc=args.postproc)
     exp = dataclasses.replace(exp, infer=infer)
 
     try:
