@@ -101,3 +101,14 @@ def test_load_stage_params_prefers_newest_export_and_checkpoint_only(
 
     with pytest.raises(FileNotFoundError):
         load_stage_params(exp, "fine", from_checkpoint_only=True)
+
+
+def test_info_cli(capsys):
+    from brats2019_tpu.cli import info as cli_info
+
+    assert cli_info.main(["--preset", "cascade"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["jax"]["device_count"] >= 1
+    assert "native_loader" in out
+    assert out["preset"]["name"] == "cascade"
+    assert out["preset"]["transfer_bucket"] == 16
