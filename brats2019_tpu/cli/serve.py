@@ -145,15 +145,9 @@ class Server:
         except Exception:
             outs, errs = [], []
             for d in case_dirs:  # isolate the poison case
-                try:
-                    o = self.predictor.predict_dirs(
-                        [d], output_paths=self._out_paths([d])
-                    )[0]
-                    outs.append(o)
-                    errs.append(None)
-                except Exception as e:  # noqa: BLE001 — quarantine anything
-                    outs.append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
+                o, e = self._predict_one_isolated(d)
+                outs.append(o)
+                errs.append(e)
         wall = time.time() - t0
         records = []
         for d, o, e in zip(case_dirs, outs, errs):
@@ -178,6 +172,35 @@ class Server:
             flush=True,
         )
         return outs
+
+    def _predict_one_isolated(self, case_dir: str, retries: int = 1):
+        """One case with transient-failure retry: a device/runtime hiccup
+        (RESOURCE_EXHAUSTED, INTERNAL — both observed transiently on shared
+        TPU pools) must not permanently quarantine a healthy case; only an
+        error that persists across a retry is the case's fault."""
+        for attempt in range(retries + 1):
+            try:
+                return (
+                    self.predictor.predict_dirs(
+                        [case_dir], output_paths=self._out_paths([case_dir])
+                    )[0],
+                    None,
+                )
+            except Exception as e:  # noqa: BLE001 — classify below
+                msg = f"{type(e).__name__}: {e}"
+                transient = any(
+                    t in msg for t in ("RESOURCE_EXHAUSTED", "INTERNAL")
+                )
+                if transient and attempt < retries:
+                    print(
+                        f"serve: transient failure on {case_dir}, retrying: "
+                        f"{msg[:200]}",
+                        file=sys.stderr, flush=True,
+                    )
+                    time.sleep(1.0)
+                    continue
+                return None, msg
+        return None, "unreachable"
 
     def scan(self, watch_root: str, sizes: dict) -> list:
         return [

@@ -189,3 +189,32 @@ def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(out_dir, "BraTS19_SYN_000_1_pred.nii.gz")
     )
+
+
+def test_transient_device_error_retries_not_quarantines(monkeypatch):
+    """A RESOURCE_EXHAUSTED-style hiccup on a healthy case must be retried,
+    not quarantined; a persistent error still quarantines."""
+    s = object.__new__(cli_serve.Server)
+    s.output_dir = None
+
+    calls = {"n": 0}
+
+    class FakePredictor:
+        def predict_dirs(self, dirs, output_paths=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("INTERNAL: TPU backend error (ResourceExhausted)")
+            return ["ok.nii.gz"]
+
+    s.predictor = FakePredictor()
+    monkeypatch.setattr(cli_serve.time, "sleep", lambda *_: None)
+    out, err = s._predict_one_isolated("/case")
+    assert out == "ok.nii.gz" and err is None and calls["n"] == 2
+
+    class AlwaysBad:
+        def predict_dirs(self, dirs, output_paths=None):
+            raise ValueError("truncated gzip stream")
+
+    s.predictor = AlwaysBad()
+    out, err = s._predict_one_isolated("/case")
+    assert out is None and "truncated gzip" in err
