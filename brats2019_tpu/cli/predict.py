@@ -4,6 +4,7 @@ Usage:
     python -m brats2019_tpu.cli.predict <case_dir_or_root> [--preset cascade]
         [--workdir DIR] [--output PATH] [--no-tta] [--no-cascade]
         [--transfer-dtype bfloat16|int8] [--postproc host|device]
+        [--profile DIR]
 
 Points at a BraTS case directory (or a root of several), loads the trained
 stage checkpoints, and writes ``<case>_pred.nii.gz`` with BraTS disk labels
@@ -35,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "int8"),
                    help="host->device encoding: int8 halves link bytes "
                         "(lossy, ~99.999%% mask agreement; PERF.md)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the predict "
+                        "run into DIR (view with tensorboard)")
     p.add_argument("--postproc", default=None, choices=("host", "device"),
                    help="where C16 connected-components runs")
     p.add_argument("--seed", type=int, default=None)
@@ -85,6 +89,10 @@ def main(argv=None) -> int:
     from ..infer.predictor import Predictor
 
     predictor = Predictor(exp, params_fine, params_coarse)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     if len(cases) == 1:
         out, stats = predictor.predict_dir(cases[0], args.output)
@@ -100,6 +108,11 @@ def main(argv=None) -> int:
         for d, out in zip(cases, outs):
             print(f"[predict] {d} -> {out}", flush=True)
     dt = time.time() - t0
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"[predict] profiler trace written to {args.profile}", flush=True)
     print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
           f"({len(cases) / dt:.3f} volumes/sec)", flush=True)
     return 0

@@ -189,6 +189,8 @@ def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(out_dir, "BraTS19_SYN_000_1_pred.nii.gz")
     )
+    hb = json.load(open(os.path.join(out_dir, "serve_heartbeat.json")))
+    assert hb["done"] >= 0 and hb["ts"] > 0
 
 
 def test_transient_device_error_retries_not_quarantines(monkeypatch):
