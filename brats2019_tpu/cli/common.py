@@ -53,6 +53,23 @@ def params_like_for(unet_cfg: UNetConfig, patch=(32, 32, 32)):
     )
 
 
+def _latest_checkpoint_mtime(workdir: str) -> float:
+    """Newest mtime among the orbax step dirs and the best-params state
+    under ``<workdir>/checkpoints`` (0.0 when none exist)."""
+    root = os.path.join(workdir, "checkpoints")
+    newest = 0.0
+    try:
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.isdigit() or (
+                name == "best" and os.path.exists(os.path.join(p, "state"))
+            ):
+                newest = max(newest, os.path.getmtime(p))
+    except OSError:
+        pass
+    return newest
+
+
 def load_stage_params(
     exp: ExperimentConfig, stage: str, prefer_best: bool = True,
     from_checkpoint_only: bool = False,
@@ -62,10 +79,12 @@ def load_stage_params(
     Accepts the orbax checkpoints under ``<workdir>/<stage>`` or an
     exported ``params.{safetensors,npz}`` (train/checkpoint.py
     export_params). When both exported files exist the NEWEST by mtime
-    wins (a fixed preference order would silently serve stale weights
-    after retrain+re-export); ``from_checkpoint_only`` skips exported
-    files entirely — the export CLI uses it so re-exporting always reads
-    the current checkpoint, never a previous export."""
+    wins, and an export is used only while it is at least as new as the
+    newest checkpoint — after a retrain WITHOUT re-export the checkpoint
+    must win or predict/serve silently serve stale weights (ADVICE round
+    2). ``from_checkpoint_only`` skips exported files entirely — the
+    export CLI uses it so re-exporting always reads the current
+    checkpoint, never a previous export."""
     import sys
 
     unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
@@ -84,9 +103,18 @@ def load_stage_params(
         ]
         if exported:
             newest = max(exported, key=os.path.getmtime)
-            print(f"[params] {stage}: loading exported {newest}",
-                  file=sys.stderr, flush=True)
-            return import_params(newest, like)
+            ckpt_mtime = _latest_checkpoint_mtime(workdir)
+            if ckpt_mtime > os.path.getmtime(newest):
+                print(
+                    f"[params] {stage}: checkpoint is NEWER than exported "
+                    f"{newest} — loading the checkpoint (re-run the export "
+                    f"CLI to refresh the export)",
+                    file=sys.stderr, flush=True,
+                )
+            else:
+                print(f"[params] {stage}: loading exported {newest}",
+                      file=sys.stderr, flush=True)
+                return import_params(newest, like)
     ckpt = CheckpointManager(workdir)
     try:
         if prefer_best:

@@ -94,25 +94,30 @@ def main(argv=None) -> int:
 
         jax.profiler.start_trace(args.profile)
     t0 = time.time()
-    if len(cases) == 1:
-        out, stats = predictor.predict_dir(cases[0], args.output)
-        print(
-            f"[predict] {cases[0]} -> {out} "
-            f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
-            f"post {stats.post_s:.2f}s)",
-            flush=True,
-        )
-    else:
-        # pipelined serving path: decode/device/write stages overlap
-        outs = predictor.predict_dirs(cases)
-        for d, out in zip(cases, outs):
-            print(f"[predict] {d} -> {out}", flush=True)
-    dt = time.time() - t0
-    if args.profile:
-        import jax
+    try:
+        if len(cases) == 1:
+            out, stats = predictor.predict_dir(cases[0], args.output)
+            print(
+                f"[predict] {cases[0]} -> {out} "
+                f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
+                f"post {stats.post_s:.2f}s)",
+                flush=True,
+            )
+        else:
+            # pipelined serving path: decode/device/write stages overlap
+            outs = predictor.predict_dirs(cases)
+            for d, out in zip(cases, outs):
+                print(f"[predict] {d} -> {out}", flush=True)
+    finally:
+        # an exception mid-predict must still finalize the trace (ADVICE
+        # round 2) — an open trace dir is unreadable by tensorboard
+        if args.profile:
+            import jax
 
-        jax.profiler.stop_trace()
-        print(f"[predict] profiler trace written to {args.profile}", flush=True)
+            jax.profiler.stop_trace()
+            print(f"[predict] profiler trace written to {args.profile}",
+                  flush=True)
+    dt = time.time() - t0
     print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
           f"({len(cases) / dt:.3f} volumes/sec)", flush=True)
     return 0
