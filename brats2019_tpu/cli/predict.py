@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "run into DIR (view with tensorboard)")
     p.add_argument("--postproc", default=None, choices=("host", "device"),
                    help="where C16 connected-components runs")
+    p.add_argument("--serving-depth", type=int, default=None,
+                   help="volumes concurrently in host prep/postprocess "
+                        "(>1 hedges transfer stalls on bad links)")
+    p.add_argument("--batch-volumes", type=int, default=None,
+                   help="pair this many volumes' fine TTA stages into one "
+                        "device program (~13%% device throughput for "
+                        "co-located serving; couples latency)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -60,6 +67,10 @@ def main(argv=None) -> int:
         infer = dataclasses.replace(infer, transfer_dtype=args.transfer_dtype)
     if args.postproc:
         infer = dataclasses.replace(infer, postproc=args.postproc)
+    if args.serving_depth:
+        infer = dataclasses.replace(infer, serving_depth=args.serving_depth)
+    if args.batch_volumes:
+        infer = dataclasses.replace(infer, batch_volumes=args.batch_volumes)
     exp = dataclasses.replace(exp, infer=infer)
 
     cases = discover_cases(args.case_dir)

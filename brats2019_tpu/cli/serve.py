@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(lossy, ~99.999%% mask agreement; PERF.md)")
     p.add_argument("--postproc", default=None, choices=("host", "device"),
                    help="where C16 connected-components runs")
+    p.add_argument("--serving-depth", type=int, default=None,
+                   help="volumes concurrently in host prep/postprocess "
+                        "(>1 hedges transfer stalls on bad links)")
+    p.add_argument("--batch-volumes", type=int, default=None,
+                   help="pair this many volumes' fine TTA stages into one "
+                        "device program (~13%% device throughput for "
+                        "co-located serving; couples latency)")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -323,6 +330,10 @@ def main(argv=None) -> int:
         infer = dataclasses.replace(infer, transfer_dtype=args.transfer_dtype)
     if args.postproc:
         infer = dataclasses.replace(infer, postproc=args.postproc)
+    if args.serving_depth:
+        infer = dataclasses.replace(infer, serving_depth=args.serving_depth)
+    if args.batch_volumes:
+        infer = dataclasses.replace(infer, batch_volumes=args.batch_volumes)
     exp = dataclasses.replace(exp, infer=infer)
 
     try:

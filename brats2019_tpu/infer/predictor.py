@@ -47,6 +47,40 @@ def _start_host_copy(*arrays) -> None:
             return
 
 
+class _PairDispatcher:
+    """Groups per-volume flip-stacks into paired b16 fine programs
+    (InferenceConfig.batch_volumes >= 2, split cascade path only;
+    PERF.md "Cross-volume batching headroom": 11.2 vs 12.9 ms/sample).
+    ``dispatch`` buffers one volume per device and fires the paired
+    program when a second arrives; ``flush`` drains odd tails through the
+    single-volume b8 program."""
+
+    def __init__(self, predictor: "Predictor"):
+        self.p = predictor
+        self.pending: dict = {}  # device -> [(emit, tiles, start), ...]
+
+    def dispatch(self, dev, x_dev, emit) -> None:
+        pf, pc = self.p._params_on(dev)
+        j_roi, j_fine, j_reduce = self.p._fn.stages
+        tiles, start = j_roi(pc, x_dev)
+        buf = self.pending.setdefault(dev, [])
+        buf.append((emit, tiles, start))
+        if len(buf) == 2:
+            (e0, t0, s0), (e1, t1, s1) = buf
+            p0, p1 = self.p._fn.fine_pair(pf, t0, t1)
+            e0(*j_reduce(p0, s0))
+            e1(*j_reduce(p1, s1))
+            buf.clear()
+
+    def flush(self) -> None:
+        for dev, buf in self.pending.items():
+            pf, _ = self.p._params_on(dev)
+            _, j_fine, j_reduce = self.p._fn.stages
+            for emit, tiles, start in buf:
+                emit(*j_reduce(j_fine(pf, tiles), start))
+            buf.clear()
+
+
 @dataclasses.dataclass
 class PredictionStats:
     load_s: float
@@ -203,26 +237,57 @@ class Predictor:
         them (each device runs the whole single-volume program on its own
         cases — the natural data-parallel serving decomposition; per-volume
         latency-sensitive multi-chip decomposition lives in
-        parallel.spatial.distributed_tile_sweep)."""
+        parallel.spatial.distributed_tile_sweep).
+
+        ``InferenceConfig.serving_depth`` bounds how many volumes may be in
+        host prep / postprocess concurrently (depth>1 hedges transfer
+        stalls on weather-prone links); ``batch_volumes >= 2`` pairs
+        consecutive volumes into one b16 fine program (latency couples by
+        one volume — co-located serving only)."""
         from concurrent.futures import ThreadPoolExecutor
 
         devices = jax.local_devices()
+        depth = max(1, self.exp.infer.serving_depth)
+        pair = self._pair_dispatcher()
+        dev_of = lambda i: devices[(i // 2 if pair else i) % len(devices)]
 
-        with ThreadPoolExecutor(1) as prep_pool, ThreadPoolExecutor(1) as post_pool:
+        with ThreadPoolExecutor(depth) as prep_pool, ThreadPoolExecutor(depth) as post_pool:
             preps = [
-                prep_pool.submit(self._prep_to, img, devices[i % len(devices)])
+                prep_pool.submit(self._prep_to, img, dev_of(i))
                 for i, img in enumerate(images)
             ]
-            posts = []
+            posts: dict = {}
             for i, fut in enumerate(preps):
                 x_dev, shape, bbox = fut.result()
-                pf, pc = self._params_on(devices[i % len(devices)])
-                labels_r, start = self._fn(pf, pc, x_dev)
-                _start_host_copy(labels_r, start)
-                posts.append(
-                    post_pool.submit(self._finish, (labels_r, start), shape, bbox)
-                )
-            return [p.result() for p in posts]
+                if pair is None:
+                    pf, pc = self._params_on(dev_of(i))
+                    labels_r, start = self._fn(pf, pc, x_dev)
+                    _start_host_copy(labels_r, start)
+                    posts[i] = post_pool.submit(
+                        self._finish, (labels_r, start), shape, bbox
+                    )
+                else:
+                    def emit(labels_r, start, i=i, shape=shape, bbox=bbox):
+                        _start_host_copy(labels_r, start)
+                        posts[i] = post_pool.submit(
+                            self._finish, (labels_r, start), shape, bbox
+                        )
+
+                    pair.dispatch(dev_of(i), x_dev, emit)
+            if pair is not None:
+                pair.flush()
+            return [posts[i].result() for i in range(len(images))]
+
+    def _pair_dispatcher(self):
+        """Active only when configured AND the split cascade fast path is in
+        use (it exposes .stages/.fine_pair)."""
+        if (
+            self.exp.infer.batch_volumes >= 2
+            and hasattr(self._fn, "stages")
+            and hasattr(self._fn, "fine_pair")
+        ):
+            return _PairDispatcher(self)
+        return None
 
     def _params_on(self, dev):
         """Per-device committed copies of the (frozen) inference params."""
@@ -295,12 +360,14 @@ class Predictor:
         devices = jax.local_devices()
         if output_paths is None:
             output_paths = [None] * len(case_dirs)
+        pair = self._pair_dispatcher()
+        dev_of = lambda i: devices[(i // 2 if pair else i) % len(devices)]
 
         def load_and_prep(i_d):
             i, d = i_d
             case = load_case(d, load_seg=False)
             x_dev, shape, bbox = self._prep_to(
-                case.image, devices[i % len(devices)], meta=case.meta
+                case.image, dev_of(i), meta=case.meta
             )
             return case, x_dev, shape, bbox
 
@@ -312,24 +379,36 @@ class Predictor:
             write_nifti(out, disk, like=case.header)
             return out
 
-        with ThreadPoolExecutor(1) as prep_pool, ThreadPoolExecutor(1) as post_pool:
+        depth = max(1, self.exp.infer.serving_depth)
+        with ThreadPoolExecutor(depth) as prep_pool, ThreadPoolExecutor(depth) as post_pool:
             preps = [
                 prep_pool.submit(load_and_prep, (i, d))
                 for i, d in enumerate(case_dirs)
             ]
-            posts = []
+            posts: dict = {}
             for i, (fut, d) in enumerate(zip(preps, case_dirs)):
                 case, x_dev, shape, bbox = fut.result()
-                pf, pc = self._params_on(devices[i % len(devices)])
-                labels_r, start = self._fn(pf, pc, x_dev)
-                _start_host_copy(labels_r, start)
-                posts.append(
-                    post_pool.submit(
+                if pair is None:
+                    pf, pc = self._params_on(dev_of(i))
+                    labels_r, start = self._fn(pf, pc, x_dev)
+                    _start_host_copy(labels_r, start)
+                    posts[i] = post_pool.submit(
                         finish_and_write, case, (labels_r, start), shape,
                         bbox, d, output_paths[i],
                     )
-                )
-            return [p.result() for p in posts]
+                else:
+                    def emit(labels_r, start, i=i, case=case, shape=shape,
+                             bbox=bbox, d=d):
+                        _start_host_copy(labels_r, start)
+                        posts[i] = post_pool.submit(
+                            finish_and_write, case, (labels_r, start),
+                            shape, bbox, d, output_paths[i],
+                        )
+
+                    pair.dispatch(dev_of(i), x_dev, emit)
+            if pair is not None:
+                pair.flush()
+            return [posts[i].result() for i in range(len(case_dirs))]
 
     def predict_dir(
         self, case_dir: str, output_path: Optional[str] = None

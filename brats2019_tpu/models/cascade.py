@@ -160,6 +160,16 @@ def make_predict_fn(
             )
         return labels_r, start
 
+    def stage_fine_pair(params_fine, tiles_a, tiles_b):
+        """Two volumes' TTA stacks through ONE b16 fine program — ~13%
+        better per-sample device throughput than two b8 dispatches
+        (PERF.md "Cross-volume batching headroom"); used by the serving
+        path when InferenceConfig.batch_volumes >= 2."""
+        n = tiles_a.shape[0]
+        logits = fine_apply(params_fine, jnp.concatenate([tiles_a, tiles_b]))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(store_dt)
+        return probs[:n], probs[n:]
+
     j_roi = jax.jit(stage_roi)
     j_fine = jax.jit(stage_fine)
     j_reduce = jax.jit(stage_reduce)
@@ -170,6 +180,7 @@ def make_predict_fn(
         return j_reduce(probs8, start)
 
     predict_split.stages = (j_roi, j_fine, j_reduce)  # for stage profiling
+    predict_split.fine_pair = jax.jit(stage_fine_pair)
     return predict_split
 
 

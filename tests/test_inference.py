@@ -277,3 +277,46 @@ def test_split_tta_matches_monolithic():
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     # identical up to float-tie flips from the skipped (p*w)/w round trip
     assert (np.asarray(la) == np.asarray(lb)).mean() > 0.999
+
+
+def test_paired_volume_batching_matches_single(tmp_path):
+    """batch_volumes=2 (two volumes' fine TTA stages in ONE device program,
+    VERDICT round-2 #6) must produce the same labels as the per-volume
+    path, including the odd-tail fallback."""
+    import dataclasses
+
+    infer = InferenceConfig(
+        canvas=None,
+        tile=(16, 16, 16),
+        cascade=True,
+        tta_flips=True,
+        coarse_shape=(16, 16, 16),
+        roi_shape=(16, 16, 16),  # roi == tile, single origin -> split path
+        min_component_voxels=0,
+        et_min_voxels=0,
+        compute_dtype="float32",
+        tta_precision="float32",
+    )
+    exp = ExperimentConfig(
+        name="pair", unet=UCFG, coarse_unet=UCFG,
+        train=TrainConfig(pool_shape=(32, 32, 32)), infer=infer,
+    )
+    pf, pc = _init_params(0), _init_params(1)
+    images = [make_case_arrays(seed=s, shape=(32, 32, 32))[0] for s in (3, 4, 5)]
+
+    single = Predictor(exp, pf, pc)
+    assert single._pair_dispatcher() is None
+    ref = single.predict_arrays_many(images)
+
+    exp2 = dataclasses.replace(
+        exp, infer=dataclasses.replace(infer, batch_volumes=2)
+    )
+    paired = Predictor(exp2, pf, pc)
+    assert paired._pair_dispatcher() is not None
+    got = paired.predict_arrays_many(images)  # 3 volumes: one pair + tail
+
+    assert len(got) == len(ref) == 3
+    for a, b in zip(ref, got):
+        # identical math modulo conv-batch reduction-order roundoff; labels
+        # must agree essentially everywhere
+        assert (np.asarray(a) == np.asarray(b)).mean() > 0.999
