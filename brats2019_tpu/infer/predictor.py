@@ -61,23 +61,23 @@ class _PairDispatcher:
 
     def dispatch(self, dev, x_dev, emit) -> None:
         pf, pc = self.p._params_on(dev)
-        j_roi, j_fine, j_reduce = self.p._fn.stages
+        j_roi, _ = self.p._fn.stages
         tiles, start = j_roi(pc, x_dev)
         buf = self.pending.setdefault(dev, [])
         buf.append((emit, tiles, start))
         if len(buf) == 2:
             (e0, t0, s0), (e1, t1, s1) = buf
-            p0, p1 = self.p._fn.fine_pair(pf, t0, t1)
-            e0(*j_reduce(p0, s0))
-            e1(*j_reduce(p1, s1))
+            la, sa, lb, sb = self.p._fn.fine_pair(pf, t0, t1, s0, s1)
+            e0(la, sa)
+            e1(lb, sb)
             buf.clear()
 
     def flush(self) -> None:
         for dev, buf in self.pending.items():
             pf, _ = self.p._params_on(dev)
-            _, j_fine, j_reduce = self.p._fn.stages
+            _, j_finish = self.p._fn.stages
             for emit, tiles, start in buf:
-                emit(*j_reduce(j_fine(pf, tiles), start))
+                emit(*j_finish(pf, tiles, start))
             buf.clear()
 
 
@@ -132,6 +132,12 @@ class Predictor:
             self.canvas,
             num_classes=exp.unet.num_classes,
             coarse_apply=coarse_apply,
+            # pre-d2s head output enables the low-res TTA reduce on the
+            # split fast path (bitwise-identical, ~20 ms/volume on v5e)
+            fine_lowres_apply=lambda p, x: fine_model.apply(
+                p, x, subpixel=False
+            ),
+            stem=exp.unet.stem_downsample,
         )
         # transfer-path embed: only the (bucketed) brain bbox crosses the
         # host->device link; this places it into the zero canvas on-device.

@@ -85,7 +85,14 @@ class UNet3D(nn.Module):
     config: UNetConfig = UNetConfig()
 
     @nn.compact
-    def __call__(self, x, deep_outputs: bool = False):
+    def __call__(self, x, deep_outputs: bool = False, subpixel: bool = True):
+        """``subpixel=False`` returns the PRE-depth-to-space head output
+        (N, D/r, H/r, W/r, K*r^3) when ``stem_downsample=r>1`` — the
+        inference reduce path consumes this directly: softmax/TTA-unflip/
+        mean/argmax over the r^3-block channel structure are pure
+        permutation algebra on d2s, and running them at low resolution on
+        a 32-channel-minor tensor is ~8x cheaper on the VPU than the same
+        ops on the (...,4)-minor full-res tensor (PERF.md round 3)."""
         cfg = self.config
         dt = cfg.dtype
         x = x.astype(dt)
@@ -129,7 +136,7 @@ class UNet3D(nn.Module):
             param_dtype=jnp.float32,
             name="head",
         )(x.astype(jnp.float32))
-        if r > 1:
+        if r > 1 and subpixel:
             logits = depth_to_space(logits, r)
         if cfg.deep_supervision and deep_outputs:
             return logits, aux_logits

@@ -320,3 +320,47 @@ def test_paired_volume_batching_matches_single(tmp_path):
         # identical math modulo conv-batch reduction-order roundoff; labels
         # must agree essentially everywhere
         assert (np.asarray(a) == np.asarray(b)).mean() > 0.999
+
+
+def test_split_tta_lowres_reduce_matches_monolithic():
+    """The merged fine+low-res-reduce program (stem=2 sub-pixel head;
+    PERF.md round 3) must match the monolithic predict program exactly —
+    the d2s permutation algebra makes it the same math."""
+    from brats2019_tpu.models.cascade import make_predict_fn
+
+    cfg = InferenceConfig(
+        canvas=None,
+        tile=(16, 16, 16),
+        cascade=True,
+        tta_flips=True,
+        coarse_shape=(16, 16, 16),
+        roi_shape=(16, 16, 16),
+        min_component_voxels=0,
+        et_min_voxels=0,
+        compute_dtype="float32",
+        tta_precision="float32",
+    )
+    ucfg2 = UNetConfig(levels=2, base_features=4, compute_dtype="float32",
+                       stem_downsample=2)
+    fine = UNet3D(ucfg2)
+    coarse = UNet3D(UCFG)
+    fine_apply = lambda p, x: fine.apply(p, x)
+    pf = fine.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)))
+    pc = _init_params(1)
+    canvas = (32, 32, 32)
+    fn_split = make_predict_fn(
+        fine_apply, cfg, canvas,
+        coarse_apply=lambda p, x: coarse.apply(p, x),
+        fine_lowres_apply=lambda p, x: fine.apply(p, x, subpixel=False),
+        stem=2,
+    )
+    assert len(fn_split.stages) == 2
+    fn_mono = make_predict_fn(
+        fine_apply, cfg, canvas,
+        coarse_apply=lambda p, x: coarse.apply(p, x), allow_split=False,
+    )
+    image = jnp.asarray(make_case_arrays(seed=12, shape=canvas)[0], jnp.float32)
+    la, sa = fn_split(pf, pc, image)
+    lb, sb = fn_mono(pf, pc, image)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    assert (np.asarray(la) == np.asarray(lb)).mean() > 0.999

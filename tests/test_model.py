@@ -102,3 +102,35 @@ def test_reference_parity_preset_forward():
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x)
     assert y.shape == (1, m, m, m, 4)
+
+
+def test_pre_subpixel_logits_match_d2s():
+    """apply(subpixel=False) must be the exact pre-depth-to-space head
+    output: depth_to_space of it equals the normal full-res logits (the
+    low-res TTA reduce path builds on this, PERF.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brats2019_tpu.models import UNet3D
+    from brats2019_tpu.models.unet3d import UNetConfig, depth_to_space
+
+    cfg = UNetConfig(levels=2, base_features=4, max_features=8,
+                     compute_dtype="float32", stem_downsample=2)
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(1), x)
+    full = model.apply(params, x)
+    low = model.apply(params, x, subpixel=False)
+    assert low.shape == (1, 8, 8, 8, cfg.num_classes * 8)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(low, 2)), np.asarray(full)
+    )
+    # stem=1 nets ignore the flag
+    cfg1 = UNetConfig(levels=2, base_features=4, compute_dtype="float32")
+    m1 = UNet3D(cfg1)
+    p1 = m1.init(jax.random.PRNGKey(2), x)
+    np.testing.assert_array_equal(
+        np.asarray(m1.apply(p1, x, subpixel=False)),
+        np.asarray(m1.apply(p1, x)),
+    )

@@ -1,0 +1,154 @@
+"""Round-3: profile + attack device connected components (VERDICT #5:
+173 ms device vs 108 ms host scipy; target device < host).
+
+Breakdown targets:
+  - label_components while_loop: per-iteration cost (maxpool vs pointer
+    jump gather) and iteration count on a realistic mask
+  - component_sizes: top_k root extraction vs chunked compare-sum
+Variants:
+  - separable 3x(3-tap) maxpool instead of one 27-tap reduce_window
+  - double pointer jump per iteration
+  - roots via seed==label comparison directly feeding the chunked count
+    (replace top_k with a cheaper reduction if it dominates)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from brats2019_tpu.ops.connected_components import (
+    _maxpool3, component_sizes, label_components,
+)
+
+
+def timed(fn, *args, reps=4, lo=3, hi=9):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+
+    def run_k(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+        return time.time() - t0
+
+    run_k(2)
+    ts = sorted((run_k(hi) - run_k(lo)) / (hi - lo) for _ in range(reps))
+    return ts[len(ts) // 2]
+
+
+def make_mask(shape=(128, 128, 128), seed=0):
+    """Realistic BraTS-like postproc input: one big blob + several specks."""
+    rng = np.random.RandomState(seed)
+    zz = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"))
+    c = np.array(shape)[:, None, None, None] / 2
+    blob = (((zz - c) ** 2).sum(0)) < (min(shape) * 0.3) ** 2
+    m = blob.copy()
+    for _ in range(12):
+        p = rng.randint(5, min(shape) - 5, size=3)
+        r = rng.randint(1, 3)
+        m[p[0] - r:p[0] + r, p[1] - r:p[1] + r, p[2] - r:p[2] + r] = True
+    return m
+
+
+def main():
+    fg = jnp.asarray(make_mask())
+
+    # --- current implementation
+    t_label = timed(label_components, fg)
+    comp = label_components(fg)
+    t_sizes = timed(component_sizes, comp)
+    print(f"label_components (current): {t_label*1e3:6.1f} ms")
+    print(f"component_sizes  (current): {t_sizes*1e3:6.1f} ms")
+
+    # iteration count of the while loop on this mask
+    def count_iters(fg, max_iters=128):
+        d, h, w = fg.shape
+        seeds = (jnp.arange(d * h * w, dtype=jnp.int32) + 1).reshape(d, h, w)
+        labels = jnp.where(fg, seeds, 0)
+
+        def cond(s):
+            return s[1] & (s[2] < max_iters)
+
+        def body(s):
+            labels, _, it = s
+            pooled = jnp.where(fg, _maxpool3(labels), 0)
+            flat = pooled.reshape(-1)
+            jumped = jnp.where(flat > 0, jnp.take(flat, jnp.maximum(flat - 1, 0)), 0)
+            new = jnp.maximum(flat, jumped).reshape(pooled.shape)
+            return new, jnp.any(new != labels), it + 1
+
+        _, _, it = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+        return it
+
+    n_it = int(jax.jit(count_iters)(fg))
+    print(f"while_loop iterations: {n_it}")
+
+    # --- per-piece costs (fixed 8-iteration fori so slope is clean)
+    @jax.jit
+    def pool_only(fg):
+        labels = jnp.where(fg, (jnp.arange(fg.size, dtype=jnp.int32) + 1).reshape(fg.shape), 0)
+
+        def body(i, l):
+            return jnp.where(fg, _maxpool3(l), 0)
+
+        return jax.lax.fori_loop(0, 8, body, labels)
+
+    @jax.jit
+    def jump_only(fg):
+        labels = jnp.where(fg, (jnp.arange(fg.size, dtype=jnp.int32) + 1).reshape(fg.shape), 0)
+
+        def body(i, l):
+            flat = l.reshape(-1)
+            jumped = jnp.where(flat > 0, jnp.take(flat, jnp.maximum(flat - 1, 0)), 0)
+            return jnp.maximum(flat, jumped).reshape(l.shape) + i  # dep on i
+        return jax.lax.fori_loop(0, 8, body, labels)
+
+    print(f"8x maxpool27 only: {timed(pool_only, fg)*1e3:6.1f} ms")
+    print(f"8x pointer-jump only: {timed(jump_only, fg)*1e3:6.1f} ms")
+
+    # separable maxpool variant
+    def _maxpool3_sep(x):
+        for ax in range(3):
+            w = [1, 1, 1]
+            w[ax] = 3
+            x = jax.lax.reduce_window(
+                x, jnp.int32(0), jax.lax.max, tuple(w), (1, 1, 1), "SAME"
+            )
+        return x
+
+    @jax.jit
+    def pool_sep_only(fg):
+        labels = jnp.where(fg, (jnp.arange(fg.size, dtype=jnp.int32) + 1).reshape(fg.shape), 0)
+
+        def body(i, l):
+            return jnp.where(fg, _maxpool3_sep(l), 0)
+
+        return jax.lax.fori_loop(0, 8, body, labels)
+
+    print(f"8x separable maxpool only: {timed(pool_sep_only, fg)*1e3:6.1f} ms")
+
+    # component_sizes pieces: top_k roots vs chunked count
+    @jax.jit
+    def topk_only(labels):
+        flat = labels.reshape(-1)
+        seeds = jnp.arange(flat.shape[0], dtype=jnp.int32) + 1
+        roots = jnp.where(flat == seeds, flat, 0)
+        return jax.lax.top_k(roots, 128)[0]
+
+    print(f"top_k roots only: {timed(topk_only, comp)*1e3:6.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
