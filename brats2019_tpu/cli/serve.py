@@ -83,8 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "int8"),
                    help="host->device encoding: int8 halves link bytes "
                         "(lossy, ~99.999%% mask agreement; PERF.md)")
-    p.add_argument("--postproc", default=None, choices=("host", "device"),
-                   help="where C16 connected-components runs")
+    p.add_argument("--postproc", default="device",
+                   choices=("host", "device"),
+                   help="where C16 connected-components runs. serve "
+                        "defaults to DEVICE (host-free): the round-3 "
+                        "two-phase CC costs ~17 ms on-device vs ~108 ms "
+                        "host scipy, and the 1-core serving host is the "
+                        "throughput wall (PERF.md round 3)")
     p.add_argument("--serving-depth", type=int, default=None,
                    help="volumes concurrently in host prep/postprocess "
                         "(>1 hedges transfer stalls on bad links)")

@@ -128,12 +128,159 @@ def make_predict_fn(
             return labels_r, start
         return labels_r, jnp.zeros((3,), jnp.int32)
 
-    if not split_tta:
-        return jax.jit(predict)
-
     store_dt = (
         jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32
     )
+
+    # multi-tile generalization of the split fast path (VERDICT round-2
+    # #4): when TTA is on but the sweep has several tiles (whole-canvas
+    # config-4 sweeps, or an ROI larger than one tile), stage the sweep as
+    # stack-all-tiles | scan of merged fine+low-res-reduce-to-probs with
+    # in-program blending — the conv program never contains a reverse and
+    # the reduce runs on the 32-channel-minor pre-d2s output, exactly as
+    # in the single-tile path.
+    staged_sweep = (
+        allow_split
+        and cfg.tta_flips
+        and not split_tta
+        and fine_lowres_apply is not None
+        and stem > 1
+        and len(origins_np) > 1
+        and all(t % stem == 0 for t in tile)
+        and all(s % stem == 0 for s in sweep_shape)
+        and bool((np.asarray(origins_np) % stem == 0).all())
+    )
+
+    if not split_tta and not staged_sweep:
+        return jax.jit(predict)
+
+    use_lowres = fine_lowres_apply is not None and stem > 1
+
+    def _lowres_mean_probs(logits_lr):
+        """Groupwise softmax over the K sub-axis + low-res unflips (flip +
+        r-block bit swap) + f32 mean on the PRE-d2s head output — the same
+        values, same cast points, and same reduction order as the full-res
+        softmax/unflip/mean, but on (K*r^3)-channel-minor tensors at 1/r^3
+        spatial (~8x better VPU packing; PERF.md round 3). Returns
+        (d, h, w, r, r, r, K) f32 mean probabilities."""
+        b, d, h, w, _ = logits_lr.shape
+        r = stem
+        g = logits_lr.reshape(b, d, h, w, r, r, r, num_classes)
+        p = jax.nn.softmax(g.astype(jnp.float32), -1).astype(store_dt)
+        acc = jnp.zeros(p.shape[1:], jnp.float32)
+        from ..infer.tta import FLIPS
+
+        for i, f in enumerate(FLIPS):
+            q = p[i]
+            axes = [ax for ax, flag in enumerate(f) if flag]
+            axes += [ax + 3 for ax, flag in enumerate(f) if flag]
+            if axes:
+                q = jnp.flip(q, axes)
+            acc = acc + q.astype(jnp.float32)
+        return acc * (1.0 / len(FLIPS))
+
+    def _labels_from_blocks(blk):
+        """(d, h, w, r, r, r) block labels -> (d*r, h*r, w*r): the d2s
+        rearrange applied to labels instead of logits."""
+        r = stem
+        d, h, w = blk.shape[:3]
+        return blk.transpose(0, 3, 1, 4, 2, 5).reshape(d * r, h * r, w * r)
+
+    def _finish_one(labels_r):
+        if cfg.postproc == "device":
+            return _postprocess_device(
+                labels_r, cfg.min_component_voxels, cfg.et_min_voxels
+            )
+        return labels_r
+
+    if staged_sweep:
+        r = stem
+        tile_lr = tuple(t // r for t in tile)
+        sweep_lr = tuple(s // r for s in sweep_shape)
+        # blend weight in low-res block form: (tx/r, ty/r, tz/r, r, r, r, 1)
+        w_lr_np = weight_np.reshape(
+            tile[0] // r, r, tile[1] // r, r, tile[2] // r, r, 1
+        ).transpose(0, 2, 4, 1, 3, 5, 6)
+
+        def stage_sweep_stack(params_coarse, image):
+            """z-score (+ coarse localization/ROI slice when cascading) +
+            per-tile flip stacks: (T, 8, tx, ty, tz, C)."""
+            image = zscore(image.astype(jnp.float32))
+            if use_cascade:
+                coarse_in = resize_trilinear(image, cfg.coarse_shape)
+                logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
+                tumor = jnp.argmax(logits_c, axis=-1) > 0
+                center_c = mask_bbox_center(tumor)
+                scale = jnp.array(
+                    [c / s for c, s in zip(canvas, cfg.coarse_shape)],
+                    jnp.float32,
+                )
+                center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
+                start = centered_crop_start(center, roi, canvas)
+                o = (start[0], start[1], start[2], jnp.int32(0))
+                region = jax.lax.dynamic_slice(
+                    image, o, roi + (image.shape[-1],)
+                )
+            else:
+                region, start = image, jnp.zeros((3,), jnp.int32)
+            stacks = jnp.stack([
+                tta_stack(
+                    region[
+                        o0:o0 + tile[0], o1:o1 + tile[1], o2:o2 + tile[2]
+                    ],
+                    cfg.tta_precision,
+                )
+                for o0, o1, o2 in origins_np
+            ])
+            return stacks, start
+
+        def stage_sweep_finish(params_fine, stacks, start):
+            """scan over tiles: merged b8 fine forward + low-res TTA mean,
+            blended into a low-res block canvas; argmax + label rearrange
+            at the end. No reverse ever neighbors the convs."""
+            canvas_lr = jnp.zeros(sweep_lr + (r, r, r, num_classes), jnp.float32)
+            wsum_lr = jnp.zeros(sweep_lr + (r, r, r, 1), jnp.float32)
+            w_lr = jnp.asarray(w_lr_np)
+            origins_lr = jnp.asarray(origins_np, jnp.int32) // r
+
+            def body(carry, xs):
+                canvas_lr, wsum_lr = carry
+                chunk, o_lr = xs
+                probs = _lowres_mean_probs(fine_lowres_apply(params_fine, chunk))
+                o = (o_lr[0], o_lr[1], o_lr[2], jnp.int32(0),
+                     jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                cur = jax.lax.dynamic_slice(
+                    canvas_lr, o, tile_lr + (r, r, r, num_classes)
+                )
+                canvas_lr = jax.lax.dynamic_update_slice(
+                    canvas_lr, cur + probs * w_lr, o
+                )
+                curw = jax.lax.dynamic_slice(
+                    wsum_lr, o, tile_lr + (r, r, r, 1)
+                )
+                wsum_lr = jax.lax.dynamic_update_slice(
+                    wsum_lr, curw + w_lr, o
+                )
+                return (canvas_lr, wsum_lr), None
+
+            (canvas_lr, wsum_lr), _ = jax.lax.scan(
+                body, (canvas_lr, wsum_lr),
+                (stacks, origins_lr),
+            )
+            probs = canvas_lr / jnp.maximum(wsum_lr, 1e-8)
+            blk = jnp.argmax(probs, -1).astype(jnp.uint8)
+            labels = _labels_from_blocks(blk)
+            return _finish_one(labels), start
+
+        j_stack = jax.jit(stage_sweep_stack)
+        j_sweep_finish = jax.jit(stage_sweep_finish)
+
+        def predict_sweep(params_fine, params_coarse, image):
+            stacks, start = j_stack(params_coarse, image)
+            return j_sweep_finish(params_fine, stacks, start)
+
+        predict_sweep.stages = (j_stack, j_sweep_finish)
+        return predict_sweep
 
     def stage_roi(params_coarse, image):
         """z-score + coarse localization + ROI slice + flip-stack."""
@@ -151,8 +298,6 @@ def make_predict_fn(
         region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
         return tta_stack(region, cfg.tta_precision), start
 
-    use_lowres = fine_lowres_apply is not None and stem > 1
-
     def _reduce_fullres(logits):
         """softmax -> bf16 store -> unflip -> f32 mean -> argmax at full
         resolution (stem=1 fallback; the unflips fuse with argmax so this
@@ -162,34 +307,11 @@ def make_predict_fn(
         return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
 
     def _reduce_lowres(logits_lr):
-        """The same math on the PRE-d2s head output (bitwise-identical):
-        groupwise softmax over the K sub-axis, unflips as low-res flips +
-        r-block bit swaps, f32 mean, per-block argmax, then the d2s label
-        rearrange. Runs on (K*r^3)-channel-minor tensors at 1/r^3 spatial
-        — ~8x better VPU utilization than the (...,K)-minor full-res form."""
-        b, d, h, w, _ = logits_lr.shape
-        r = stem
-        g = logits_lr.reshape(b, d, h, w, r, r, r, num_classes)
-        p = jax.nn.softmax(g.astype(jnp.float32), -1).astype(store_dt)
-        acc = jnp.zeros(p.shape[1:], jnp.float32)
-        from ..infer.tta import FLIPS
-
-        for i, f in enumerate(FLIPS):
-            q = p[i]
-            axes = [ax for ax, flag in enumerate(f) if flag]
-            axes += [ax + 3 for ax, flag in enumerate(f) if flag]
-            if axes:
-                q = jnp.flip(q, axes)
-            acc = acc + q.astype(jnp.float32)
-        blk = jnp.argmax(acc, -1).astype(jnp.uint8)  # (d,h,w,r,r,r)
-        return blk.transpose(0, 3, 1, 4, 2, 5).reshape(d * r, h * r, w * r)
-
-    def _finish_one(labels_r):
-        if cfg.postproc == "device":
-            return _postprocess_device(
-                labels_r, cfg.min_component_voxels, cfg.et_min_voxels
-            )
-        return labels_r
+        """Low-res mean probs -> per-block argmax -> d2s label rearrange
+        (bitwise-identical to the full-res reduce; PERF.md round 3)."""
+        probs = _lowres_mean_probs(logits_lr)
+        blk = jnp.argmax(probs, -1).astype(jnp.uint8)  # (d,h,w,r,r,r)
+        return _labels_from_blocks(blk)
 
     def stage_finish(params_fine, tiles, start):
         """Merged fine forward + TTA reduce: one program, labels out (the

@@ -42,6 +42,12 @@ class UNetConfig:
     # the top (nnU-Net-style, arXiv:1809.10486 / 2110.03352) — emitted only
     # when called with deep_outputs=True (training); inference unchanged
     deep_supervision: bool = False
+    # rematerialize the DoubleConv blocks of the first N (highest-res)
+    # levels during backprop. Whole-apply remat LOSES at every batch size
+    # (PERF.md "Remat A/B") — this SELECTIVE knob targets only the levels
+    # whose activations dominate the backward working set, aiming to lift
+    # the b>1 HBM cliff without paying recompute on the cheap deep levels.
+    remat_levels: int = 0
 
     def feats(self, level: int) -> int:
         return min(self.base_features * (2 ** level), self.max_features)
@@ -100,12 +106,24 @@ class UNet3D(nn.Module):
         if r > 1:
             x = space_to_depth(x, r)
 
+        # remat wrapping must keep the auto-naming sequence (DoubleConv_N)
+        # so checkpoints trained with any remat_levels stay interchangeable
+        blk_idx = 0
+
+        def block(lvl, feats, x):
+            nonlocal blk_idx
+            cls = nn.remat(DoubleConv) if lvl < cfg.remat_levels else DoubleConv
+            x = cls(
+                feats, activation=cfg.activation, compute_dtype=dt,
+                name=f"DoubleConv_{blk_idx}",
+            )(x)
+            blk_idx += 1
+            return x
+
         # encoder
         skips = []
         for lvl in range(cfg.levels):
-            x = DoubleConv(
-                cfg.feats(lvl), activation=cfg.activation, compute_dtype=dt
-            )(x)
+            x = block(lvl, cfg.feats(lvl), x)
             if lvl < cfg.levels - 1:
                 skips.append(x)
                 x = downsample2x(x)
@@ -115,9 +133,7 @@ class UNet3D(nn.Module):
         for lvl in reversed(range(cfg.levels - 1)):
             x = upsample2x(x)
             x = jnp.concatenate([x, skips[lvl].astype(dt)], axis=-1)
-            x = DoubleConv(
-                cfg.feats(lvl), activation=cfg.activation, compute_dtype=dt
-            )(x)
+            x = block(lvl, cfg.feats(lvl), x)
             if cfg.deep_supervision and deep_outputs and lvl > 0:
                 aux = nn.Conv(
                     cfg.num_classes,

@@ -98,3 +98,28 @@ def test_pointer_jump_converges_on_snake():
     comp = np.asarray(label_components(jnp.asarray(vol)))
     ids = np.unique(comp[vol])
     assert len(ids) == 1  # one component, fully merged
+
+
+def test_snake_component_needs_jump_phase():
+    """A serpentine 1-voxel path whose graph diameter exceeds the pool-only
+    iteration cap must still label correctly — phase 2 (pointer jumping)
+    picks up where capped pooling stops (round-3 two-phase rework)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from brats2019_tpu.ops.connected_components import label_components
+
+    shape = (32, 32, 3)
+    m = np.zeros(shape, bool)
+    for i in range(0, shape[0], 2):
+        m[i, :, 1] = True
+        if i + 1 < shape[0]:
+            m[i + 1, (shape[1] - 1) if (i // 2) % 2 == 0 else 0, 1] = True
+    # diameter ~ 16*32 = 512 >> the 24-iteration pool cap used here
+    lab = np.asarray(label_components(jnp.asarray(m), max_pool_iters=24))
+    ref, n = ndimage.label(m, structure=np.ones((3, 3, 3)))
+    assert n == 1
+    vals = np.unique(lab[m])
+    assert len(vals) == 1 and vals[0] > 0
+    assert (lab[~m] == 0).all()

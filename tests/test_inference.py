@@ -364,3 +364,61 @@ def test_split_tta_lowres_reduce_matches_monolithic():
     lb, sb = fn_mono(pf, pc, image)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     assert (np.asarray(la) == np.asarray(lb)).mean() > 0.999
+
+
+def test_staged_multitile_sweep_matches_monolithic():
+    """The staged multi-tile TTA sweep (stack program | scan of merged
+    fine+low-res reduce with in-program blending; VERDICT round-2 #4) must
+    match the monolithic sliding-window program."""
+    from brats2019_tpu.models.cascade import make_predict_fn
+
+    ucfg2 = UNetConfig(levels=2, base_features=4, compute_dtype="float32",
+                       stem_downsample=2)
+    fine = UNet3D(ucfg2)
+    fine_apply = lambda p, x: fine.apply(p, x)
+    fine_lr = lambda p, x: fine.apply(p, x, subpixel=False)
+    pf = fine.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)))
+    canvas = (24, 16, 16)  # 2-tile sweep along X, origins [0, 8]
+
+    # (a) no-cascade whole-canvas sweep
+    cfg = InferenceConfig(
+        canvas=None, tile=(16, 16, 16), cascade=False, tta_flips=True,
+        min_component_voxels=0, et_min_voxels=0,
+        compute_dtype="float32", tta_precision="float32",
+    )
+    fn_staged = make_predict_fn(
+        fine_apply, cfg, canvas, fine_lowres_apply=fine_lr, stem=2,
+    )
+    assert hasattr(fn_staged, "stages") and len(fn_staged.stages) == 2
+    fn_mono = make_predict_fn(fine_apply, cfg, canvas, allow_split=False)
+    image = jnp.asarray(make_case_arrays(seed=13, shape=canvas)[0], jnp.float32)
+    la, sa = fn_staged(pf, None, image)
+    lb, sb = fn_mono(pf, None, image)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    assert (np.asarray(la) == np.asarray(lb)).mean() > 0.999
+
+    # (b) cascade with ROI larger than one tile (multi-tile ROI sweep)
+    coarse = UNet3D(UCFG)
+    pc = _init_params(1)
+    cfg2 = InferenceConfig(
+        canvas=None, tile=(16, 16, 16), cascade=True, tta_flips=True,
+        coarse_shape=(16, 16, 16), roi_shape=(24, 16, 16),
+        min_component_voxels=0, et_min_voxels=0,
+        compute_dtype="float32", tta_precision="float32",
+    )
+    canvas2 = (32, 32, 32)
+    fn_staged2 = make_predict_fn(
+        fine_apply, cfg2, canvas2,
+        coarse_apply=lambda p, x: coarse.apply(p, x),
+        fine_lowres_apply=fine_lr, stem=2,
+    )
+    assert hasattr(fn_staged2, "stages") and len(fn_staged2.stages) == 2
+    fn_mono2 = make_predict_fn(
+        fine_apply, cfg2, canvas2,
+        coarse_apply=lambda p, x: coarse.apply(p, x), allow_split=False,
+    )
+    image2 = jnp.asarray(make_case_arrays(seed=14, shape=canvas2)[0], jnp.float32)
+    la2, sa2 = fn_staged2(pf, pc, image2)
+    lb2, sb2 = fn_mono2(pf, pc, image2)
+    np.testing.assert_array_equal(np.asarray(sa2), np.asarray(sb2))
+    assert (np.asarray(la2) == np.asarray(lb2)).mean() > 0.999
