@@ -1,0 +1,142 @@
+"""Multi-chip whole-volume inference entry points (SURVEY.md §7.4 /
+docs/MULTIHOST.md "Inference at scale"; VERDICT round-2 #9: expose the
+mesh decompositions through the CLI, not just the library).
+
+Two decompositions over a ``('data',)`` device mesh:
+
+* ``spatial`` — ONE whole-volume forward, the volume's X axis sharded
+  across chips with ppermute halo exchange for conv/resize boundary
+  correctness and psum'd exact InstanceNorm stats
+  (parallel/spatial_unet.py). Latency-optimal for a single volume;
+  requires canvas X divisible by ``stem * 2^(levels-1) * n_devices``.
+* ``sweep`` — the sliding-window (tile x 8-flip) work-item list striped
+  across chips, each device blending its items into an ROI-restricted
+  canvas merged by one psum (parallel/spatial.py). Works for any mesh
+  size; throughput-optimal for the tiled config-4 shape.
+
+Both consume the standard trained UNet3D parameter pytree and produce
+the same masks as the single-device predictor (validated on the
+8-virtual-device CPU mesh, tests/test_multichip_cli.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import ExperimentConfig
+from ..data.preprocess import BBox, brain_bbox_fast_np, crop_cast_fit_np, zscore
+from ..parallel.mesh import MeshEnv, make_mesh
+from .postprocess import postprocess_labels
+from .tiling import blend_weight, tile_origins
+
+
+def uncrop_labels(
+    labels_canvas: np.ndarray,
+    cropped_shape: Tuple[int, int, int],
+    bbox: BBox,
+    canvas: Tuple[int, int, int],
+) -> np.ndarray:
+    """Invert fit_to_canvas + bbox crop back to the full volume (the same
+    inverse the single-device Predictor applies)."""
+    src_sl, dst_sl = [], []
+    for ax in range(3):
+        s, t = cropped_shape[ax], canvas[ax]
+        if s <= t:
+            off = (t - s) // 2
+            src_sl.append(slice(off, off + s))
+            dst_sl.append(slice(0, s))
+        else:
+            off = (s - t) // 2
+            src_sl.append(slice(0, t))
+            dst_sl.append(slice(off, off + t))
+    cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
+    cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
+    out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
+    sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
+    out[sl] = cropped
+    return out
+
+
+class MultichipPredictor:
+    """Whole-case prediction over a device mesh (mode='spatial'|'sweep').
+
+    Host side mirrors the single-device Predictor (bbox crop, center-fit,
+    z-score, postprocess, un-crop); the device program is the chosen mesh
+    decomposition, jit-once and reused across cases.
+    """
+
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        params_fine,
+        mode: str = "sweep",
+        env: Optional[MeshEnv] = None,
+    ):
+        if mode not in ("spatial", "sweep"):
+            raise ValueError(f"multichip mode must be spatial|sweep, got {mode!r}")
+        self.exp = exp
+        self.mode = mode
+        self.env = env or make_mesh()
+        self.canvas = tuple(exp.infer.canvas or exp.train.pool_shape)
+        self.params = jax.device_put(params_fine, self.env.replicated())
+        ucfg = exp.unet
+        if mode == "spatial":
+            from ..parallel.spatial_unet import make_spatial_unet
+
+            req = ucfg.min_spatial * self.env.n_data
+            if self.canvas[0] % req:
+                raise ValueError(
+                    f"--multichip spatial needs canvas X ({self.canvas[0]}) "
+                    f"divisible by stem*2^(levels-1)*n_devices = {req}; use "
+                    f"--multichip sweep or a different device count"
+                )
+            self._fwd = make_spatial_unet(self.env, ucfg)
+        else:
+            from ..models.unet3d import UNet3D
+            from ..parallel.spatial import distributed_tile_sweep
+
+            model = UNet3D(ucfg)
+            tile = tuple(exp.infer.tile)
+            origins = tile_origins(self.canvas, tile, exp.infer.overlap)
+            weight = blend_weight(
+                tile, exp.infer.blend, exp.infer.gaussian_sigma_frac
+            )
+            self._sweep = distributed_tile_sweep(
+                lambda p: jax.nn.softmax(
+                    model.apply(self.params, p[None])[0].astype(jnp.float32), -1
+                ),
+                self.env,
+                self.canvas,
+                origins,
+                tile,
+                weight,
+                ucfg.num_classes,
+                n_flips=8 if exp.infer.tta_flips else 1,
+            )
+
+    def predict_arrays(self, image: np.ndarray) -> np.ndarray:
+        bbox = brain_bbox_fast_np(image)
+        # same prep chain as the single-device Predictor (crop/cast, then
+        # the DEVICE z-score) so masks match it, not just approximate it
+        canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
+        x = jax.jit(lambda v: zscore(v.astype(jnp.float32)))(
+            jnp.asarray(canvas_img)
+        )
+        if self.mode == "spatial":
+            logits = self._fwd(self.params, jnp.asarray(x))
+            labels_c = np.asarray(
+                jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.uint8)
+            )
+        else:
+            probs = self._sweep(jnp.asarray(x))
+            labels_c = np.asarray(jnp.argmax(probs, -1).astype(jnp.uint8))
+        labels = uncrop_labels(labels_c, bbox.shape, bbox, self.canvas)
+        return postprocess_labels(
+            labels,
+            min_component_voxels=self.exp.infer.min_component_voxels,
+            et_min_voxels=self.exp.infer.et_min_voxels,
+        )

@@ -1,0 +1,117 @@
+"""--multichip {spatial,sweep} predict surface (VERDICT round-2 #9): the
+mesh decompositions must produce the same masks as the single-device
+predictor, and be reachable from the CLI. Runs on the forced 8-virtual-
+device CPU mesh (conftest)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brats2019_tpu.configs.presets import (
+    ExperimentConfig,
+    InferenceConfig,
+    TrainConfig,
+)
+from brats2019_tpu.data.synthetic import make_case_arrays
+from brats2019_tpu.infer.multichip import MultichipPredictor
+from brats2019_tpu.infer.predictor import Predictor
+from brats2019_tpu.models import UNet3D, UNetConfig
+
+UCFG = UNetConfig(levels=2, base_features=4, compute_dtype="float32")
+
+
+def _exp(tta: bool):
+    return ExperimentConfig(
+        name="mc",
+        unet=UCFG,
+        coarse_unet=None,
+        train=TrainConfig(pool_shape=(32, 32, 32)),
+        infer=InferenceConfig(
+            canvas=None, tile=(16, 16, 16), cascade=False, tta_flips=tta,
+            min_component_voxels=0, et_min_voxels=0,
+            compute_dtype="float32", tta_precision="float32",
+        ),
+    )
+
+
+def _params():
+    return UNet3D(UCFG).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4))
+    )
+
+
+def test_multichip_sweep_matches_single_device():
+    exp = _exp(tta=True)
+    params = _params()
+    image, _ = make_case_arrays(seed=21, shape=(40, 36, 28))
+    ref, _ = Predictor(exp, params).predict_arrays(image)
+    got = MultichipPredictor(exp, params, mode="sweep").predict_arrays(image)
+    assert got.shape == ref.shape
+    assert (got == ref).mean() > 0.999
+
+
+def test_multichip_spatial_matches_unsharded_forward():
+    """spatial = ONE whole-volume forward with GLOBAL InstanceNorm stats —
+    its single-device reference is the unsharded whole-canvas UNet3D
+    forward (NOT the tiled sliding window, whose per-tile IN stats are a
+    different computation)."""
+    from brats2019_tpu.data.preprocess import crop_cast_fit_np, brain_bbox_fast_np, zscore
+    from brats2019_tpu.infer.multichip import uncrop_labels
+    from brats2019_tpu.infer.postprocess import postprocess_labels
+
+    exp = _exp(tta=False)
+    params = _params()
+    image, _ = make_case_arrays(seed=22, shape=(40, 36, 28))
+    got = MultichipPredictor(exp, params, mode="spatial").predict_arrays(image)
+
+    canvas = (32, 32, 32)
+    bbox = brain_bbox_fast_np(image)
+    x = zscore(jnp.asarray(crop_cast_fit_np(image, bbox, canvas)).astype(jnp.float32))
+    logits = UNet3D(UCFG).apply(params, x[None])[0]
+    labels_c = np.asarray(jnp.argmax(logits.astype(jnp.float32), -1)).astype(np.uint8)
+    ref = postprocess_labels(
+        uncrop_labels(labels_c, bbox.shape, bbox, canvas),
+        min_component_voxels=0, et_min_voxels=0,
+    )
+    assert got.shape == ref.shape
+    assert (got == ref).mean() > 0.999
+
+
+def test_multichip_spatial_rejects_indivisible_canvas():
+    exp = _exp(tta=False)
+    exp = dataclasses.replace(
+        exp, infer=dataclasses.replace(exp.infer, canvas=(24, 16, 16))
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        MultichipPredictor(exp, _params(), mode="spatial")
+
+
+@pytest.mark.slow
+def test_multichip_cli_end_to_end(tmp_path, monkeypatch):
+    from brats2019_tpu.cli import predict as cli_predict
+    from brats2019_tpu.cli import train as cli_train
+    from brats2019_tpu.utils.nifti import read_nifti
+
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape", "32", "32", "32",
+        "--preset", "unit", "--steps", "3", "--checkpoint-every", "2",
+        "--workdir", workdir,
+    ])
+    assert rc == 0
+    case = os.path.join(data, "BraTS19_SYN_000_1")
+    out = str(tmp_path / "mc_pred.nii.gz")
+    rc = cli_predict.main([
+        case, "--preset", "unit", "--workdir", workdir,
+        "--multichip", "sweep", "--output", out,
+    ])
+    assert rc == 0
+    seg, _ = read_nifti(out, apply_scaling=False)
+    assert seg.shape == (32, 32, 32)
+    assert set(np.unique(seg)) <= {0, 1, 2, 4}
