@@ -151,7 +151,21 @@ def train_stage(
             env,
         )
     else:
-        train_step = make_train_step(train_apply, cfg, env)
+        # sub-pixel-head nets train with the low-res loss form (identical
+        # value, cheaper VPU passes; train/loss.py) unless deep
+        # supervision needs full-res labels
+        from .step import make_segmentation_microbatch_loss
+
+        lowres_apply = None
+        if unet_cfg.stem_downsample > 1 and not unet_cfg.deep_supervision:
+            lowres_apply = lambda p, x: model.apply(p, x, subpixel=False)
+        train_step = make_train_step(
+            train_apply, cfg, env,
+            microbatch_loss=make_segmentation_microbatch_loss(
+                train_apply, cfg, lowres_apply=lowres_apply,
+                stem=unet_cfg.stem_downsample,
+            ),
+        )
     eval_step = make_batched_eval_step(apply_fn, env)
 
     ckpt = CheckpointManager(workdir, keep=cfg.keep_checkpoints)

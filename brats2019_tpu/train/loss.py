@@ -62,6 +62,36 @@ def region_soft_dice_loss(
     return total / len(_REGION_CLASSES)
 
 
+def blockify_labels(labels: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(N, D, H, W) int labels -> (N, D/r, H/r, W/r, r, r, r) s2d block
+    form, matching the PRE-depth-to-space head output's channel structure
+    (models/unet3d.py ``subpixel=False``)."""
+    n, D, H, W = labels.shape
+    x = labels.reshape(n, D // r, r, H // r, r, W // r, r)
+    return x.transpose(0, 1, 3, 5, 2, 4, 6)
+
+
+def segmentation_loss_lowres(
+    logits_lr: jnp.ndarray,   # (N, D/r, H/r, W/r, K*r^3) pre-d2s head output
+    labels: jnp.ndarray,      # (N, D, H, W) int
+    r: int,
+    **kwargs,
+) -> Tuple[jnp.ndarray, dict]:
+    """segmentation_loss computed on the PRE-depth-to-space head output:
+    logits reshaped to (N, d, h, w, r, r, r, K) and labels block-reshaped.
+    Same loss value as the full-res form (verified to 0 diff on TPU) but
+    the softmax/one-hot passes run on (K*r^3)-channel-minor tensors —
+    ~2.4 ms/step cheaper on v5e (PERF.md round 3, the same VPU-packing
+    argument as the inference low-res TTA reduce). Deep-supervision aux
+    logits are NOT supported here (their label downsampling assumes
+    full-res labels) — callers keep the full-res path when aux heads are
+    on."""
+    n, d, h, w, kr3 = logits_lr.shape
+    k = kr3 // (r ** 3)
+    lb = logits_lr.reshape(n, d, h, w, r, r, r, k)
+    return segmentation_loss(lb, blockify_labels(labels, r), **kwargs)
+
+
 def _downsample_labels(labels: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Stride-subsample integer labels (center offset), per aux-head scale."""
     o = factor // 2

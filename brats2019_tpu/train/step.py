@@ -100,9 +100,32 @@ def make_sample_local_batch(cfg: TrainConfig) -> Callable:
 
 
 def make_segmentation_microbatch_loss(
-    apply_fn: Callable, cfg: TrainConfig
+    apply_fn: Callable,
+    cfg: TrainConfig,
+    lowres_apply: Callable = None,
+    stem: int = 1,
 ) -> Callable:
-    """Default microbatch loss: Dice+CE (+region/deep-supervision terms)."""
+    """Default microbatch loss: Dice+CE (+region/deep-supervision terms).
+
+    ``lowres_apply`` (the model's ``subpixel=False`` apply) switches the
+    loss to the pre-d2s low-res form — identical value, ~2.4 ms/step
+    cheaper on v5e (train/loss.py segmentation_loss_lowres). Only used
+    when deep supervision is off (aux labels need the full-res form).
+    """
+    if lowres_apply is not None and stem > 1:
+        from .loss import segmentation_loss_lowres
+
+        def loss(params, imgs, segs):
+            return segmentation_loss_lowres(
+                lowres_apply(params, imgs),
+                segs,
+                stem,
+                dice_weight=cfg.dice_weight,
+                ce_weight=cfg.ce_weight,
+                region_weight=cfg.region_weight,
+            )
+
+        return loss
 
     def loss(params, imgs, segs):
         out = apply_fn(params, imgs)

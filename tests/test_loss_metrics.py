@@ -68,3 +68,32 @@ def test_region_semantics():
     pred = gt.copy()
     d = M.region_dice_np(pred, gt)
     assert d["WT"] == 1.0 and d["TC"] == 1.0 and d["ET"] == 1.0
+
+
+def test_lowres_loss_matches_fullres():
+    """segmentation_loss_lowres on the pre-d2s head output must equal the
+    full-res loss (same math, block-reorganized reductions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brats2019_tpu.models import UNet3D
+    from brats2019_tpu.models.unet3d import UNetConfig
+    from brats2019_tpu.train.loss import segmentation_loss, segmentation_loss_lowres
+
+    cfg = UNetConfig(levels=2, base_features=4, compute_dtype="float32",
+                     stem_downsample=2)
+    model = UNet3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16, 4))
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 16, 16, 16), 0, 4)
+    params = model.init(jax.random.PRNGKey(2), x)
+    full, aux_f = segmentation_loss(model.apply(params, x), y,
+                                    region_weight=0.5)
+    low, aux_l = segmentation_loss_lowres(
+        model.apply(params, x, subpixel=False), y, 2, region_weight=0.5,
+    )
+    np.testing.assert_allclose(float(full), float(low), rtol=1e-5)
+    np.testing.assert_allclose(float(aux_f["dice_loss"]),
+                               float(aux_l["dice_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(aux_f["region_dice_loss"]),
+                               float(aux_l["region_dice_loss"]), rtol=1e-5)
