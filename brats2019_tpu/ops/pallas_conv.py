@@ -111,7 +111,7 @@ def conv3d_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w9, replicated
-            pl.BlockSpec(memory_space=pltpu.ANY),    # xcat, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),       # xcat, DMA'd
         ],
         out_specs=pl.BlockSpec(
             (1, D_BLK, H_BLK, W, CO),
