@@ -155,7 +155,9 @@ def main() -> int:
                 "vs_baseline": round(vs, 3),
                 "device_ms_per_vol": round(device_s_per_vol * 1000, 2),
                 "predict_program_tflop": round(flops / 1e12, 3),
-                "device_mfu": round(device_mfu, 4) if device_mfu else None,
+                "device_mfu": (
+                    round(device_mfu, 4) if device_mfu is not None else None
+                ),
                 "e2e_median_volumes_per_sec": round(vps, 4),
                 "e2e_batches": [round(v, 4) for v in batch_vps],
             }

@@ -44,10 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving-depth", type=int, default=None,
                    help="volumes concurrently in host prep/postprocess "
                         "(>1 hedges transfer stalls on bad links)")
-    p.add_argument("--batch-volumes", type=int, default=None,
-                   help="pair this many volumes' fine TTA stages into one "
-                        "device program (~13%% device throughput for "
-                        "co-located serving; couples latency)")
+    p.add_argument("--batch-volumes", type=int, default=None, choices=(1, 2),
+                   help="2 = pair two volumes' fine TTA stages into one "
+                        "b16 device program (~13%% device throughput for "
+                        "co-located serving; couples latency). Only "
+                        "pairing (2) is implemented")
     p.add_argument("--multichip", default=None, choices=("spatial", "sweep"),
                    help="run inference over ALL local devices as one mesh: "
                         "'spatial' = whole-volume forward, X axis sharded "
@@ -71,6 +72,24 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     from ..infer.multichip import MultichipPredictor
     from ..utils.nifti import write_nifti
 
+    # the mesh decompositions are single-stage whole-canvas programs; say
+    # so instead of silently dropping knobs the single-device path honors
+    if exp.infer.cascade and exp.coarse_unet is not None:
+        print("note: --multichip runs a single-stage whole-canvas "
+              "decomposition; the preset's coarse/fine cascade is bypassed "
+              "(masks match single-device predict --no-cascade)",
+              file=sys.stderr)
+    if exp.infer.postproc == "device":
+        print("note: --multichip postprocesses on the host "
+              "(--postproc device applies to single-device predict/serve)",
+              file=sys.stderr)
+    for flag, name in ((args.batch_volumes, "--batch-volumes"),
+                       (args.serving_depth, "--serving-depth")):
+        if flag and flag > 1:
+            print(f"note: {name} has no effect in --multichip mode "
+                  "(cases run one at a time over the whole mesh)",
+                  file=sys.stderr)
+
     try:
         mp = MultichipPredictor(exp, params_fine, mode=args.multichip)
     except ValueError as e:
@@ -78,16 +97,28 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
         return 2
     print(f"[predict] multichip mode={args.multichip} over "
           f"{mp.env.n_data} devices", flush=True)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
-    for i, d in enumerate(cases):
-        case = load_case(d, load_seg=False)
-        labels = mp.predict_arrays(case.image)
-        disk = internal_to_disk(labels).astype(np.uint8)
-        out = args.output if (args.output and len(cases) == 1) else (
-            os.path.join(d, f"{case.name}_pred.nii.gz")
-        )
-        write_nifti(out, disk, like=case.header)
-        print(f"[predict] {d} -> {out}", flush=True)
+    try:
+        for i, d in enumerate(cases):
+            case = load_case(d, load_seg=False)
+            labels = mp.predict_arrays(case.image)
+            disk = internal_to_disk(labels).astype(np.uint8)
+            out = args.output if (args.output and len(cases) == 1) else (
+                os.path.join(d, f"{case.name}_pred.nii.gz")
+            )
+            write_nifti(out, disk, like=case.header)
+            print(f"[predict] {d} -> {out}", flush=True)
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[predict] profiler trace written to {args.profile}",
+                  flush=True)
     dt = time.time() - t0
     print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
           f"({len(cases) / dt:.3f} volumes/sec, multichip)", flush=True)

@@ -93,10 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving-depth", type=int, default=None,
                    help="volumes concurrently in host prep/postprocess "
                         "(>1 hedges transfer stalls on bad links)")
-    p.add_argument("--batch-volumes", type=int, default=None,
-                   help="pair this many volumes' fine TTA stages into one "
-                        "device program (~13%% device throughput for "
-                        "co-located serving; couples latency)")
+    p.add_argument("--batch-volumes", type=int, default=None, choices=(1, 2),
+                   help="2 = pair two volumes' fine TTA stages into one "
+                        "b16 device program (~13%% device throughput for "
+                        "co-located serving; couples latency). Only "
+                        "pairing (2) is implemented")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,

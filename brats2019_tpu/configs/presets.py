@@ -118,12 +118,14 @@ class InferenceConfig:
     # default stays 1; the knob exists so co-located deployments and bad-
     # weather sessions can re-test cheaply (VERDICT round-2 weak #6).
     serving_depth: int = 1
-    # co-located serving: run the fine TTA stage of this many volumes as
-    # ONE batched device program (2 -> b16 instead of 2x b8; measured
-    # 11.2 vs 12.9 ms/sample = ~13% device throughput, PERF.md
-    # "Cross-volume batching headroom") at the cost of one volume of
-    # latency coupling. Takes effect only on the split single-tile cascade
-    # fast path; odd tails fall back to the single-volume program.
+    # co-located serving: 2 = run TWO volumes' fine TTA stages as ONE
+    # batched device program (b16 instead of 2x b8; measured 11.2 vs
+    # 12.9 ms/sample = ~13% device throughput, PERF.md "Cross-volume
+    # batching headroom") at the cost of one volume of latency coupling.
+    # Only pairing is implemented (values >2 behave as 2, and the CLIs
+    # restrict the flag to {1,2}). Takes effect only on the split
+    # single-tile cascade fast path; odd tails fall back to the
+    # single-volume program.
     batch_volumes: int = 1
 
 

@@ -259,6 +259,35 @@ def uncrop_np(vol: np.ndarray, bbox: BBox, fill=0) -> np.ndarray:
     return out
 
 
+def uncrop_from_canvas_np(
+    labels_canvas: np.ndarray,
+    cropped_shape: Tuple[int, int, int],
+    bbox: BBox,
+    canvas: Tuple[int, int, int],
+) -> np.ndarray:
+    """Invert ``crop_cast_fit_np`` (center-fit to canvas) + the bbox crop
+    back to the full original volume — the ONE definition of the un-crop
+    placement, shared by the single-device Predictor and the multichip
+    paths (C16 un-crop)."""
+    src_sl, dst_sl = [], []
+    for ax in range(3):
+        s, t = cropped_shape[ax], canvas[ax]
+        if s <= t:
+            off = (t - s) // 2
+            src_sl.append(slice(off, off + s))
+            dst_sl.append(slice(0, s))
+        else:
+            off = (s - t) // 2
+            src_sl.append(slice(0, t))
+            dst_sl.append(slice(off, off + t))
+    cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
+    cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
+    out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
+    sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
+    out[sl] = cropped
+    return out
+
+
 def pad_to_multiple_np(
     vol: np.ndarray, multiple: Tuple[int, int, int], fill=0
 ) -> Tuple[np.ndarray, Tuple[int, int, int]]:

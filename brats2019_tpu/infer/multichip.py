@@ -14,51 +14,35 @@ Two decompositions over a ``('data',)`` device mesh:
   canvas merged by one psum (parallel/spatial.py). Works for any mesh
   size; throughput-optimal for the tiled config-4 shape.
 
-Both consume the standard trained UNet3D parameter pytree and produce
-the same masks as the single-device predictor (validated on the
-8-virtual-device CPU mesh, tests/test_multichip_cli.py).
+Both consume the standard trained UNet3D parameter pytree. They are
+SINGLE-STAGE whole-canvas decompositions: the coarse/fine cascade does
+not apply (`spatial` is one whole-volume forward; `sweep` tiles the full
+canvas), so masks match the single-device predictor configured with
+``cascade=False`` — validated on the 8-virtual-device CPU mesh
+(tests/test_multichip_cli.py). The predict CLI prints a notice when a
+cascade preset's coarse stage is being bypassed.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs.presets import ExperimentConfig
-from ..data.preprocess import BBox, brain_bbox_fast_np, crop_cast_fit_np, zscore
+from ..data.preprocess import (
+    BBox, brain_bbox_fast_np, crop_cast_fit_np, uncrop_from_canvas_np, zscore,
+)
 from ..parallel.mesh import MeshEnv, make_mesh
 from .postprocess import postprocess_labels
 from .tiling import blend_weight, tile_origins
 
 
-def uncrop_labels(
-    labels_canvas: np.ndarray,
-    cropped_shape: Tuple[int, int, int],
-    bbox: BBox,
-    canvas: Tuple[int, int, int],
-) -> np.ndarray:
-    """Invert fit_to_canvas + bbox crop back to the full volume (the same
-    inverse the single-device Predictor applies)."""
-    src_sl, dst_sl = [], []
-    for ax in range(3):
-        s, t = cropped_shape[ax], canvas[ax]
-        if s <= t:
-            off = (t - s) // 2
-            src_sl.append(slice(off, off + s))
-            dst_sl.append(slice(0, s))
-        else:
-            off = (s - t) // 2
-            src_sl.append(slice(0, t))
-            dst_sl.append(slice(off, off + t))
-    cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
-    cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
-    out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
-    sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
-    out[sl] = cropped
-    return out
+# the one shared inverse of crop_cast_fit_np + bbox crop, also used by the
+# single-device Predictor._uncrop (kept importable here for the CLI tests)
+uncrop_labels = uncrop_from_canvas_np
 
 
 class MultichipPredictor:
@@ -83,6 +67,10 @@ class MultichipPredictor:
         self.env = env or make_mesh()
         self.canvas = tuple(exp.infer.canvas or exp.train.pool_shape)
         self.params = jax.device_put(params_fine, self.env.replicated())
+        # jit-once like every other program here (NOT per predict_arrays
+        # call — re-tracing per case costs a compile-cache lookup, and a
+        # full remote compile when the cache is cold)
+        self._zscore = jax.jit(lambda v: zscore(v.astype(jnp.float32)))
         ucfg = exp.unet
         if mode == "spatial":
             from ..parallel.spatial_unet import make_spatial_unet
@@ -123,9 +111,7 @@ class MultichipPredictor:
         # same prep chain as the single-device Predictor (crop/cast, then
         # the DEVICE z-score) so masks match it, not just approximate it
         canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
-        x = jax.jit(lambda v: zscore(v.astype(jnp.float32)))(
-            jnp.asarray(canvas_img)
-        )
+        x = self._zscore(jnp.asarray(canvas_img))
         if self.mode == "spatial":
             logits = self._fwd(self.params, jnp.asarray(x))
             labels_c = np.asarray(

@@ -189,25 +189,11 @@ class Predictor:
         bbox: BBox,
     ) -> np.ndarray:
         """Invert fit_to_canvas + bbox crop back to the full volume."""
-        # undo center-fit: slice (or re-pad) the canvas back to cropped_shape
-        src_sl, dst_sl = [], []
-        for ax in range(3):
-            s, t = cropped_shape[ax], self.canvas[ax]
-            if s <= t:
-                off = (t - s) // 2
-                src_sl.append(slice(off, off + s))
-                dst_sl.append(slice(0, s))
-            else:
-                off = (s - t) // 2
-                src_sl.append(slice(0, t))
-                dst_sl.append(slice(off, off + t))
-        cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
-        cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
-        # undo bbox crop
-        out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
-        sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
-        out[sl] = cropped
-        return out
+        from ..data.preprocess import uncrop_from_canvas_np
+
+        return uncrop_from_canvas_np(
+            labels_canvas, cropped_shape, bbox, self.canvas
+        )
 
     def _paste_roi(self, labels_r: np.ndarray, start: np.ndarray) -> np.ndarray:
         """Place device ROI labels into a zero canvas (host memcpy)."""

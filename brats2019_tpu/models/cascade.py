@@ -83,26 +83,31 @@ def make_predict_fn(
             enabled=cfg.tta_flips, precision=cfg.tta_precision,
         )
 
+    def _coarse_roi(params_coarse, image):
+        """Stage-1 localization: coarse forward on the resized canvas,
+        tumor-bbox center mapped back to canvas coordinates, clamped
+        fixed-size ROI slice. ONE definition shared by the monolithic,
+        staged-sweep, and split paths (whose output-parity tests assume
+        identical localization semantics)."""
+        coarse_in = resize_trilinear(image, cfg.coarse_shape)
+        logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
+        tumor = jnp.argmax(logits_c, axis=-1) > 0
+        center_c = mask_bbox_center(tumor)
+        scale = jnp.array(
+            [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
+        )
+        center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
+        start = centered_crop_start(center, roi, canvas)
+        o = (start[0], start[1], start[2], jnp.int32(0))
+        region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
+        return region, start
+
     def predict(params_fine, params_coarse, image):
         image = zscore(image.astype(jnp.float32))
         weight = jnp.asarray(weight_np)
 
         if use_cascade:
-            # stage 1: whole volume at low resolution
-            coarse_in = resize_trilinear(image, cfg.coarse_shape)
-            logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
-            tumor = jnp.argmax(logits_c, axis=-1) > 0
-            center_c = mask_bbox_center(tumor)
-            # map coarse-grid center back to canvas coordinates
-            scale = jnp.array(
-                [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
-            )
-            center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
-            start = centered_crop_start(center, roi, canvas)
-            o = (start[0], start[1], start[2], jnp.int32(0))
-            region = jax.lax.dynamic_slice(
-                image, o, roi + (image.shape[-1],)
-            )
+            region, start = _coarse_roi(params_coarse, image)
         else:
             region = image
 
@@ -207,20 +212,7 @@ def make_predict_fn(
             per-tile flip stacks: (T, 8, tx, ty, tz, C)."""
             image = zscore(image.astype(jnp.float32))
             if use_cascade:
-                coarse_in = resize_trilinear(image, cfg.coarse_shape)
-                logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
-                tumor = jnp.argmax(logits_c, axis=-1) > 0
-                center_c = mask_bbox_center(tumor)
-                scale = jnp.array(
-                    [c / s for c, s in zip(canvas, cfg.coarse_shape)],
-                    jnp.float32,
-                )
-                center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
-                start = centered_crop_start(center, roi, canvas)
-                o = (start[0], start[1], start[2], jnp.int32(0))
-                region = jax.lax.dynamic_slice(
-                    image, o, roi + (image.shape[-1],)
-                )
+                region, start = _coarse_roi(params_coarse, image)
             else:
                 region, start = image, jnp.zeros((3,), jnp.int32)
             stacks = jnp.stack([
@@ -285,17 +277,7 @@ def make_predict_fn(
     def stage_roi(params_coarse, image):
         """z-score + coarse localization + ROI slice + flip-stack."""
         image = zscore(image.astype(jnp.float32))
-        coarse_in = resize_trilinear(image, cfg.coarse_shape)
-        logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
-        tumor = jnp.argmax(logits_c, axis=-1) > 0
-        center_c = mask_bbox_center(tumor)
-        scale = jnp.array(
-            [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
-        )
-        center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
-        start = centered_crop_start(center, roi, canvas)
-        o = (start[0], start[1], start[2], jnp.int32(0))
-        region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
+        region, start = _coarse_roi(params_coarse, image)
         return tta_stack(region, cfg.tta_precision), start
 
     def _reduce_fullres(logits):

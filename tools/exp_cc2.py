@@ -11,6 +11,10 @@ exact equality of the resulting filter decisions vs scipy.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 from functools import partial
 

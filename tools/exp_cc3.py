@@ -6,6 +6,10 @@ decision, VERDICT round-2 #5).
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")

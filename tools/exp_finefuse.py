@@ -14,6 +14,10 @@ Plus bitwise checks of matmul-flip vs jnp.flip on bf16.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax
@@ -61,7 +65,8 @@ def main():
 
     predict_split = make_predict_fn(fine_apply, cfg, canvas,
                                     coarse_apply=coarse_apply)
-    j_roi, j_fine, j_reduce = predict_split.stages
+    from _legacy_stages import legacy_stages  # pre-12c9fc8 3-stage shim
+    j_roi, j_fine, j_reduce = legacy_stages(predict_split, fine_apply)
 
     image = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), canvas + (4,),
                                       jnp.float32))

@@ -10,6 +10,10 @@ d) matmul-based flip-stack producer (reversal matrices; no lax.rev
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -9,6 +9,10 @@ the monolithic matmul variant, then output equality.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax
@@ -67,7 +71,8 @@ def main():
     predict_split = make_predict_fn(
         fine_apply, cfg, canvas, coarse_apply=coarse_apply
     )
-    j_roi, j_fine, j_reduce = predict_split.stages
+    from _legacy_stages import legacy_stages  # pre-12c9fc8 3-stage shim
+    j_roi, j_fine, j_reduce = legacy_stages(predict_split, fine_apply)
 
     image = jax.random.normal(jax.random.PRNGKey(2), canvas + (4,), jnp.float32)
     image = jnp.abs(image)  # zscore mask needs nonzero

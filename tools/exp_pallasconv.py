@@ -3,6 +3,10 @@ the flagship encoder shapes (where XLA reaches only 30-53 TFLOP/s)."""
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -10,6 +10,10 @@ Also separates the roofline story: step time vs 3.1x the b1 forward
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -19,6 +19,10 @@ Phase 2 (TPU, flagship shapes): A/B vs the b8 canonical floor.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 
