@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from typing import Optional, Tuple
 
@@ -81,6 +82,30 @@ class _PairDispatcher:
             buf.clear()
 
 
+def transfer_bound_hint(
+    prep_s, wall_s: float, n_volumes: int, transfer_dtype: str,
+) -> Optional[str]:
+    """Serving telemetry (VERDICT round-2 #1b "react when transfer-bound"):
+    when the measured host prep+transfer occupies most of the pipeline
+    cadence, RECOMMEND the int8 transfer encoding instead of silently
+    switching to it — int8 is lossy (~99.999% mask agreement, PERF.md), so
+    changing the wire encoding of medical masks is the operator's call,
+    never an auto-toggle. Pure function so the policy is unit-testable."""
+    if transfer_dtype == "int8" or n_volumes < 4 or len(prep_s) < 4:
+        return None
+    med = sorted(prep_s)[len(prep_s) // 2]
+    cadence = wall_s / max(n_volumes, 1)
+    if cadence <= 0 or med < 0.5 * cadence:
+        return None
+    return (
+        f"note: host prep+transfer dominates serving (median {med * 1e3:.0f}"
+        f" ms/volume ≈ {100 * med / cadence:.0f}% of the {cadence * 1e3:.0f}"
+        f" ms pipeline cadence); if the host->device link is the wall, "
+        f"--transfer-dtype int8 halves link bytes (lossy: ~99.999% mask "
+        f"agreement, PERF.md 'int8 transfer encoding')"
+    )
+
+
 @dataclasses.dataclass
 class PredictionStats:
     load_s: float
@@ -126,6 +151,8 @@ class Predictor:
             else None
         )
         self._params_by_dev = {}
+        self._prep_times: list = []       # serving telemetry (transfer hint)
+        self._transfer_hinted = False
         self._fn = make_predict_fn(
             fine_apply,
             exp.infer,
@@ -243,6 +270,7 @@ class Predictor:
         pair = self._pair_dispatcher()
         dev_of = lambda i: devices[(i // 2 if pair else i) % len(devices)]
 
+        t_wall = time.time()
         with ThreadPoolExecutor(depth) as prep_pool, ThreadPoolExecutor(depth) as post_pool:
             preps = [
                 prep_pool.submit(self._prep_to, img, dev_of(i))
@@ -268,7 +296,18 @@ class Predictor:
                     pair.dispatch(dev_of(i), x_dev, emit)
             if pair is not None:
                 pair.flush()
-            return [posts[i].result() for i in range(len(images))]
+            results = [posts[i].result() for i in range(len(images))]
+        if not self._transfer_hinted:
+            hint = transfer_bound_hint(
+                self._prep_times[-len(images):],
+                time.time() - t_wall,
+                len(images),
+                self.exp.infer.transfer_dtype,
+            )
+            if hint:
+                self._transfer_hinted = True  # once per Predictor, not per batch
+                print(hint, file=sys.stderr)
+        return results
 
     def _pair_dispatcher(self):
         """Active only when configured AND the split cascade fast path is in
@@ -301,6 +340,7 @@ class Predictor:
         exact bbox + one-pass crop/cast/fit keep host prep at ~55 ms/volume
         (vs ~220 ms for full-scan + three passes — the serving wall on this
         1-core host, PERF.md)."""
+        t0 = time.time()
         if meta is not None:
             bbox = BBox(
                 tuple(int(v) for v in meta["bbox_lo"]),
@@ -337,6 +377,11 @@ class Predictor:
             canvas_img = jax.device_put(
                 jnp.asarray(crop_cast_fit_np(image, bbox, self.canvas)), dev
             )
+        # wall time of host encode + transfer dispatch (includes queue
+        # backpressure when the link is the wall); list.append is atomic
+        # under the GIL so prep threads need no lock
+        self._prep_times.append(time.time() - t0)
+        del self._prep_times[:-64]
         return canvas_img, bbox.shape, bbox
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:

@@ -422,3 +422,22 @@ def test_staged_multitile_sweep_matches_monolithic():
     lb2, sb2 = fn_mono2(pf, pc, image2)
     np.testing.assert_array_equal(np.asarray(sa2), np.asarray(sb2))
     assert (np.asarray(la2) == np.asarray(lb2)).mean() > 0.999
+
+
+def test_transfer_bound_hint_policy():
+    """Serving telemetry: recommend (never auto-enable) int8 transfer only
+    when host prep+transfer dominates the pipeline cadence."""
+    from brats2019_tpu.infer.predictor import transfer_bound_hint
+
+    # transfer dominates (100 ms of a 120 ms cadence) -> hint
+    hint = transfer_bound_hint([0.1] * 8, 8 * 0.12, 8, "bfloat16")
+    assert hint is not None and "int8" in hint
+
+    # already int8 -> never hint
+    assert transfer_bound_hint([0.1] * 8, 8 * 0.12, 8, "int8") is None
+
+    # transfer is a small fraction of cadence -> no hint
+    assert transfer_bound_hint([0.01] * 8, 8 * 0.12, 8, "bfloat16") is None
+
+    # too few samples for a meaningful median -> no hint
+    assert transfer_bound_hint([0.1] * 2, 2 * 0.12, 2, "bfloat16") is None
