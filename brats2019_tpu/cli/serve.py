@@ -44,6 +44,24 @@ _TRANSIENT_STATUS = {
 }
 
 
+def _is_stale_executable_error(e: BaseException) -> bool:
+    """jaxlib's pjit layer can bind a jitted call to a stale executable
+    after an exception unwinds through a pipelined batch with async work
+    still in flight: the SAME call with inputs identical to a previously
+    successful one then fails with a plain ValueError 'INVALID_ARGUMENT:
+    Execution supplied N buffers but compiled program expected M buffers'
+    (deterministic repro: tests/test_serve.py quarantine test — healthy
+    case after a poison-aborted batch, second Predictor in the process).
+    That is damage to the process's jit-cache state, NOT a defect of the
+    case being served; ``jax.clear_caches()`` + recompile recovers it
+    completely. The free-text match is unavoidable here — the error is a
+    plain ValueError with no structured status object."""
+    return (
+        isinstance(e, ValueError)
+        and "buffers but compiled program expected" in str(e)
+    )
+
+
 def classify_failure(e: BaseException) -> str:
     """'transient' (device/runtime hiccup — retry, never quarantine) or
     'permanent' (the case's fault — quarantine)."""
@@ -55,6 +73,8 @@ def classify_failure(e: BaseException) -> str:
         JaxRuntimeError = xla_client.XlaRuntimeError  # type: ignore
     if isinstance(e, (ConnectionError, TimeoutError)):
         return "transient"
+    if _is_stale_executable_error(e):
+        return "transient"  # recoverable via clear_caches, see above
     if isinstance(e, JaxRuntimeError):
         # XlaRuntimeError carries the canonical status as the first token
         # of its message ("RESOURCE_EXHAUSTED: ..."); there is no richer
@@ -263,6 +283,19 @@ class Server:
                 msg = f"{type(e).__name__}: {e}"
                 err = (msg, classify_failure(e))
                 if err[1] == "transient" and attempt < self.retries:
+                    if _is_stale_executable_error(e):
+                        # the jit cache itself is damaged (see
+                        # _is_stale_executable_error) — a bare retry would
+                        # rebind the same stale executable; recompiling is
+                        # the recovery
+                        import jax
+
+                        print(
+                            f"serve: stale jit executable on {case_dir}; "
+                            "clearing jax caches and recompiling",
+                            file=sys.stderr, flush=True,
+                        )
+                        jax.clear_caches()
                     backoff = self.retry_backoff * (2 ** attempt)
                     print(
                         f"serve: transient failure on {case_dir}, retrying "

@@ -288,3 +288,42 @@ def test_restart_replay_retries_transient_skips_permanent(tmp_path):
     s2.log_dir = s.log_dir
     s2.log_path = s.log_path
     assert s2._load_done() == {"case_ok", "case_poison"}
+
+
+def test_stale_executable_error_recovers_with_cache_clear(monkeypatch):
+    """The pjit layer can bind a call to a stale executable after an
+    exception unwinds through a pipelined batch ('Execution supplied N
+    buffers but compiled program expected M buffers' on inputs identical
+    to a previously-successful call). That is jit-cache damage, not the
+    case's fault: it must classify transient and the retry must clear the
+    jax caches so the recompile recovers (the quarantine test above is
+    the end-to-end repro that caught this)."""
+    stale = ValueError(
+        "INVALID_ARGUMENT: Execution supplied 21 buffers but compiled "
+        "program expected 24 buffers"
+    )
+    assert cli_serve.classify_failure(stale) == "transient"
+    # an ordinary ValueError stays permanent
+    assert cli_serve.classify_failure(ValueError("bad nifti")) == "permanent"
+
+    s = _bare_server()
+    calls = {"n": 0}
+    cleared = {"n": 0}
+
+    class StaleOnce:
+        def predict_dirs(self, dirs, output_paths=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise stale
+            return ["ok.nii.gz"]
+
+    import jax
+
+    monkeypatch.setattr(
+        jax, "clear_caches", lambda: cleared.__setitem__("n", cleared["n"] + 1)
+    )
+    monkeypatch.setattr(cli_serve.time, "sleep", lambda *_: None)
+    s.predictor = StaleOnce()
+    out, err = s._predict_one_isolated("/case")
+    assert out == "ok.nii.gz" and err is None
+    assert calls["n"] == 2 and cleared["n"] == 1
