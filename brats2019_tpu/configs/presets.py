@@ -111,13 +111,14 @@ class InferenceConfig:
     transfer_dtype: str = "bfloat16"
     # pipelined-serving in-flight depth: how many volumes may sit in host
     # prep (decode + bbox + host->device transfer) and in host postprocess
-    # concurrently. 1 = strict one-ahead pipelining; 2-3 hedges multi-
-    # second transfer stalls on a weather-prone link (the axon tunnel) at
-    # the cost of host memory (~40 MB/volume in flight). The round-2
-    # bounded-depth A/B was inconclusive under tunnel variance, so the
-    # default stays 1; the knob exists so co-located deployments and bad-
-    # weather sessions can re-test cheaply (VERDICT round-2 weak #6).
-    serving_depth: int = 1
+    # concurrently, at ~40 MB host memory per extra volume in flight.
+    # Default 2 since round 3: the interleaved 4-arm A/B in a measured
+    # transfer-bound session (PERF.md "e2e serving knobs A/B") showed
+    # depth=2 >= depth=1 in median (1.45 vs 1.03 vol/s) and MUCH better in
+    # the bad-weather round (0.86 vs 0.49) — one extra volume in flight
+    # hedges the multi-second tunnel stalls; on co-located hardware it is
+    # a no-op beyond the small buffer.
+    serving_depth: int = 2
     # co-located serving: 2 = run TWO volumes' fine TTA stages as ONE
     # batched device program (b16 instead of 2x b8; measured 11.2 vs
     # 12.9 ms/sample = ~13% device throughput, PERF.md "Cross-volume
