@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import sys
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -33,27 +34,25 @@ import ml_dtypes
 
 from ..parallel.mesh import DATA_AXIS, MeshEnv
 from .case import Case, load_case
-from .preprocess import brain_bbox_np, crop_np, zscore_np
+from .preprocess import brain_bbox_fast_np, crop_np, zscore_np
 from .sampling import FG_TABLE_SIZE, build_fg_table_np
 
 BF16 = np.dtype(ml_dtypes.bfloat16)
 
 
 def fit_to_canvas(vol: np.ndarray, canvas: Tuple[int, int, int], fill=0) -> np.ndarray:
-    """Center-pad (or center-crop) spatial dims to exactly ``canvas``."""
+    """Center-pad (or center-crop) spatial dims to exactly ``canvas``
+    (placement arithmetic shared with the serving crop/un-crop via
+    preprocess.center_fit_axis)."""
+    from .preprocess import center_fit_axis
+
     out_shape = tuple(canvas) + vol.shape[3:]
     out = np.full(out_shape, fill, dtype=vol.dtype)
     src_sl, dst_sl = [], []
     for ax in range(3):
-        s, t = vol.shape[ax], canvas[ax]
-        if s <= t:
-            off = (t - s) // 2
-            src_sl.append(slice(0, s))
-            dst_sl.append(slice(off, off + s))
-        else:
-            off = (s - t) // 2
-            src_sl.append(slice(off, off + t))
-            dst_sl.append(slice(0, t))
+        start, n, dst = center_fit_axis(vol.shape[ax], canvas[ax])
+        src_sl.append(slice(start, start + n))
+        dst_sl.append(dst)
     out[tuple(dst_sl)] = vol[tuple(src_sl)]
     return out
 
@@ -71,7 +70,10 @@ def prepare_training_case(
     """
     img = zscore_np(case.image)
     seg = case.seg if case.seg is not None else np.zeros(img.shape[:3], np.uint8)
-    bbox = brain_bbox_np(img)
+    # strided EXACT bbox (same result as the full scan, ~15 vs ~165 ms —
+    # this runs in the refresh thread that shares the 1-core host with
+    # the train loop, so the full-scan version directly taxed training)
+    bbox = brain_bbox_fast_np(img)
     img = crop_np(img, bbox)
     seg = crop_np(seg, bbox)
     if downsample > 1:
@@ -186,6 +188,7 @@ class CasePool:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._slot = 0
+        self._warned: set = set()  # case dirs already reported unreadable
 
         # per-device single-device buffers, reassembled into global arrays
         self._shards: Dict[str, List[list]] = {"image": [], "seg": [], "fg": []}
@@ -266,10 +269,37 @@ class CasePool:
             self._thread = None
 
     def _worker(self) -> None:
+        """Background refresh. An unreadable case is LOGGED (once per dir)
+        and skipped — never silently, and never in a busy-spin: consecutive
+        failures back off, and a full failing pass over the dataset stops
+        the worker loudly (training continues on the current pool rather
+        than starving the 1-core host with a 100%-CPU retry loop)."""
+        consecutive = 0
         while not self._stop.is_set():
+            d = self.case_dirs[self.cursor.next_index()]
             try:
-                c = self._load_next()
-            except Exception:
+                c = prepare_training_case(
+                    load_case(d), self.canvas, downsample=self.downsample
+                )
+                consecutive = 0
+            except Exception as e:  # noqa: BLE001 — report + skip below
+                consecutive += 1
+                if d not in self._warned:
+                    self._warned.add(d)
+                    print(
+                        f"[pool] refresh skipping unreadable case {d}: "
+                        f"{type(e).__name__}: {e}",
+                        file=sys.stderr, flush=True,
+                    )
+                if consecutive >= max(len(self.case_dirs), 4):
+                    print(
+                        "[pool] every case failed to load; stopping the "
+                        "refresh worker (training continues on the "
+                        "current device pool)",
+                        file=sys.stderr, flush=True,
+                    )
+                    return
+                self._stop.wait(0.5)  # backoff; do not spin the host core
                 continue
             while not self._stop.is_set():
                 try:

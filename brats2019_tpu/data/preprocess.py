@@ -156,6 +156,23 @@ def brain_bbox_fast_np(
     return BBox(tuple(lo), tuple(hi), full)
 
 
+def center_fit_axis(s: int, t: int) -> Tuple[int, int, slice]:
+    """Center-fit a length-``s`` axis into a length-``t`` axis: copy
+    ``src[src_start : src_start + copy_len]`` into ``dst[dst_slice]``
+    (center-pad when s <= t, center-crop when s > t). Returns
+    ``(src_start, copy_len, dst_slice)``.
+
+    THE one definition of the center-fit placement — ``fit_to_canvas``,
+    ``crop_cast_fit_np``, ``crop_cast_bucket_np`` and
+    ``uncrop_from_canvas_np`` (the inverse) all derive their slices from
+    it, so the crop and un-crop arithmetic cannot drift apart."""
+    if s <= t:
+        off = (t - s) // 2
+        return 0, s, slice(off, off + s)
+    off = (s - t) // 2
+    return off, t, slice(0, t)
+
+
 def crop_cast_fit_np(
     image: np.ndarray,
     bbox: BBox,
@@ -174,15 +191,9 @@ def crop_cast_fit_np(
     out = np.zeros(tuple(canvas) + image.shape[3:], dtype=dtype)
     src_sl, dst_sl = [], []
     for ax in range(3):
-        s, t = cshape[ax], canvas[ax]
-        if s <= t:
-            off = (t - s) // 2
-            src_sl.append(slice(bbox.lo[ax], bbox.hi[ax]))
-            dst_sl.append(slice(off, off + s))
-        else:
-            off = (s - t) // 2
-            src_sl.append(slice(bbox.lo[ax] + off, bbox.lo[ax] + off + t))
-            dst_sl.append(slice(0, t))
+        start, n, dst = center_fit_axis(cshape[ax], canvas[ax])
+        src_sl.append(slice(bbox.lo[ax] + start, bbox.lo[ax] + start + n))
+        dst_sl.append(dst)
     out[tuple(dst_sl)] = image[tuple(src_sl)]
     return out
 
@@ -211,19 +222,13 @@ def crop_cast_bucket_np(
     shape, dst, src_sl, copy_len = [], [], [], []
     for ax in range(3):
         s, t = bbox.shape[ax], canvas[ax]
-        if s <= t:
-            off = (t - s) // 2
-            n = min(-(-s // bucket) * bucket, t - off)
-            src_sl.append(slice(bbox.lo[ax], bbox.hi[ax]))
-            dst.append(off)
-            shape.append(n)
-            copy_len.append(s)
-        else:  # bbox wider than canvas: trim (mirrors crop_cast_fit_np)
-            off = (s - t) // 2
-            src_sl.append(slice(bbox.lo[ax] + off, bbox.lo[ax] + off + t))
-            dst.append(0)
-            shape.append(t)
-            copy_len.append(t)
+        start, n, dst_slice = center_fit_axis(s, t)
+        src_sl.append(slice(bbox.lo[ax] + start, bbox.lo[ax] + start + n))
+        dst.append(dst_slice.start)
+        copy_len.append(n)
+        # bucket-rounded extent, clamped to stay inside the canvas (when
+        # the bbox is wider than the canvas, n == t and this reduces to t)
+        shape.append(min(-(-n // bucket) * bucket, t - dst_slice.start))
     small = np.zeros(tuple(shape) + image.shape[3:], dtype=dtype)
     small[: copy_len[0], : copy_len[1], : copy_len[2]] = image[tuple(src_sl)]
     return small, (dst[0], dst[1], dst[2])
@@ -266,20 +271,15 @@ def uncrop_from_canvas_np(
     canvas: Tuple[int, int, int],
 ) -> np.ndarray:
     """Invert ``crop_cast_fit_np`` (center-fit to canvas) + the bbox crop
-    back to the full original volume — the ONE definition of the un-crop
-    placement, shared by the single-device Predictor and the multichip
-    paths (C16 un-crop)."""
+    back to the full original volume — the un-crop placement, shared by
+    the single-device Predictor and the multichip paths (C16 un-crop) and
+    derived from the SAME ``center_fit_axis`` as the forward fit (src/dst
+    swap roles on the way back out)."""
     src_sl, dst_sl = [], []
     for ax in range(3):
-        s, t = cropped_shape[ax], canvas[ax]
-        if s <= t:
-            off = (t - s) // 2
-            src_sl.append(slice(off, off + s))
-            dst_sl.append(slice(0, s))
-        else:
-            off = (s - t) // 2
-            src_sl.append(slice(0, t))
-            dst_sl.append(slice(off, off + t))
+        start, n, fit_dst = center_fit_axis(cropped_shape[ax], canvas[ax])
+        src_sl.append(fit_dst)                    # read where fit wrote
+        dst_sl.append(slice(start, start + n))    # write where fit read
     cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
     cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
     out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)

@@ -23,14 +23,13 @@ import numpy as np
 FG_TABLE_SIZE = 4096  # fixed-size foreground coordinate table per case
 
 # When True, sample_patch_impl emits jax.experimental.checkify checks on the
-# fg-table coordinates (SURVEY.md §4.3/§5 sanitizers). Discharge them with
-# checkify.checkify(...) — see checked_sample_batch / validate_pool_sampling.
+# fg-table coordinates (SURVEY.md §4.3/§5 sanitizers). INTERNAL toggle only:
+# checked_sample_batch flips it around an un-jitted checkify trace, which is
+# the one place the flag is guaranteed to be read at trace time. (A public
+# setter would be a trap — flipping the global after any jitted sampling has
+# been traced does not retrace cached programs, so the checks would silently
+# never fire.)
 _DEBUG_CHECKS = False
-
-
-def enable_debug_checks(on: bool = True) -> None:
-    global _DEBUG_CHECKS
-    _DEBUG_CHECKS = on
 
 
 def build_fg_table_np(seg: np.ndarray, size: int = FG_TABLE_SIZE) -> np.ndarray:

@@ -57,9 +57,20 @@ class CheckpointManager:
             "cursor": dict(cursor),
         }
         self.mgr.save(step, args=ocp.args.StandardSave(state))
-        if metric is not None and (
-            self._best_metric is None or metric > self._best_metric
-        ):
+        if metric is not None:
+            self.maybe_save_best(step, params, metric)
+
+    def maybe_save_best(
+        self, step: int, params: Any, metric: float
+    ) -> None:
+        """Export ``best/`` when ``metric`` beats the recorded best.
+
+        DECOUPLED from the regular checkpoint cadence: the train loop calls
+        this at every EVAL, so an eval landing between checkpoint steps
+        (eval_every not aligned with checkpoint_every) still updates the
+        serving weights — best selection keys on evals, never on
+        eval/checkpoint step alignment."""
+        if self._best_metric is None or metric > self._best_metric:
             self._best_metric = metric
             best_path = os.path.join(self.best_dir, "state")
             # wait only if a previous best-save is still in flight (rare:

@@ -210,13 +210,16 @@ def train_stage(
         * cfg.batch_per_device * max(cfg.grad_accum_steps, 1)
     )
     log_device = jax.devices()[0]
+    trace_on = False
     try:
         for step in range(start_step, cfg.steps):
             if profile and step == start_step + 10:
                 jax.profiler.start_trace(os.path.join(workdir, "profile"))
-            if profile and step == start_step + 20:
+                trace_on = True
+            if trace_on and step == start_step + 20:
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
+                trace_on = False
 
             step_arr = jnp.int32(step)
             params, opt_state, aux = train_step.fn(
@@ -246,16 +249,27 @@ def train_stage(
             do_eval = (
                 cfg.eval_every and (step + 1) % cfg.eval_every == 0 and val_canvases
             )
-            metric = None
             if do_eval:
                 vm = _validate(eval_step, params, val_canvases, env.n_data)
                 logger.log(step + 1, vm, prefix="val_")
-                metric = vm["dice_mean"]
+                # best export keys on EVALS, not on eval/checkpoint step
+                # alignment — a new best between checkpoint steps must
+                # still become the serving weights
+                ckpt.maybe_save_best(step + 1, params, vm["dice_mean"])
             if cfg.checkpoint_every and (
                 (step + 1) % cfg.checkpoint_every == 0 or step == cfg.steps - 1
             ):
-                ckpt.save(step + 1, params, opt_state, pool.state(), metric=metric)
+                ckpt.save(step + 1, params, opt_state, pool.state())
     finally:
+        if trace_on:
+            # short runs (< start+20 steps) or a mid-window exception must
+            # still finalize the trace — an open trace is unreadable and
+            # the profiler session would leak until process exit
+            try:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         pool.stop()
         ckpt.wait()
         logger.close()

@@ -47,12 +47,24 @@ def _ensure_lib():
     _tried = True
     # Always run make: it is a no-op when the .so is current, and it prevents
     # loading a stale library against these argtypes after fastnifti.cpp
-    # changes (the ABI gained an expect-dims parameter).
+    # changes (the ABI gained an expect-dims parameter). The build is
+    # serialized under an flock so concurrent first-users (multi-process
+    # slice, parallel pytest) cannot dlopen a half-written .so — g++ writes
+    # the output in place, and a torn write in a sibling process would at
+    # best silently degrade it to the slow loader, at worst execute garbage.
     try:
-        subprocess.run(
-            ["make", "-C", os.path.dirname(_LIB_PATH)],
-            capture_output=True, timeout=120, check=True,
-        )
+        lock_path = _LIB_PATH + ".build.lock"
+        with open(lock_path, "w") as lock_f:
+            import fcntl
+
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(_LIB_PATH)],
+                    capture_output=True, timeout=120, check=True,
+                )
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
     except Exception:
         if not os.path.exists(_LIB_PATH):
             return None

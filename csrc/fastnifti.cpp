@@ -118,14 +118,6 @@ bool slurp(const char* path, std::vector<unsigned char>* out, char* err) {
   return ok;
 }
 
-template <typename T>
-inline float decode_at(const unsigned char* data, int64_t idx, bool swapped) {
-  T v;
-  memcpy(&v, data + idx * (int64_t)sizeof(T), sizeof(T));
-  if (swapped) v = bswap(v);
-  return (float)v;
-}
-
 }  // namespace
 
 extern "C" {
@@ -301,14 +293,20 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
 // Returns 0 iff every file decoded.
 int fn_read_case(const char** paths, int32_t n, float* out,
                  const int64_t* expect, FNInfo* infos, int32_t max_threads) {
-  std::vector<std::thread> threads;
+  // Honor the caller's thread cap (the exported ABI advertises it): decode
+  // in waves of at most `tcount` concurrent files. n is small (4-5), so
+  // with the default cap this is still one thread per file in one wave.
   int32_t tcount = max_threads > 0 ? max_threads : (int32_t)std::thread::hardware_concurrency();
-  (void)tcount;  // one thread per file; n is small (4-5)
-  for (int32_t i = 0; i < n; ++i) {
-    threads.emplace_back(
-        [=]() { fn_read_volume(paths[i], out, n, i, expect, &infos[i]); });
+  if (tcount < 1) tcount = 1;
+  for (int32_t i0 = 0; i0 < n; i0 += tcount) {
+    std::vector<std::thread> threads;
+    int32_t hi = i0 + tcount < n ? i0 + tcount : n;
+    for (int32_t i = i0; i < hi; ++i) {
+      threads.emplace_back(
+          [=]() { fn_read_volume(paths[i], out, n, i, expect, &infos[i]); });
+    }
+    for (auto& t : threads) t.join();
   }
-  for (auto& t : threads) t.join();
   for (int32_t i = 0; i < n; ++i) {
     if (!infos[i].ok) return 1;
   }

@@ -76,3 +76,28 @@ def test_train_checkpoint_resume(tmp_path, dataset):
     recs2 = [json.loads(l) for l in open(mfile)]
     steps_logged = [r["step"] for r in recs2 if "loss" in r]
     assert max(steps_logged) == 6
+
+
+def test_best_export_with_nonaligned_eval_and_checkpoint(tmp_path, dataset):
+    """Best-checkpoint selection keys on EVALS, not on eval/checkpoint step
+    alignment: with eval_every=2 and checkpoint_every=3 (never aligned in a
+    6-step run except step 6), the best/ export must still exist and carry
+    the metric of an eval step."""
+    exp = make_exp(tmp_path, steps=6)
+    exp = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, eval_every=2,
+                                       checkpoint_every=3)
+    )
+    res = train_stage(exp, dataset[:2], stage="fine", val_dirs=dataset[2:])
+    best_metric = os.path.join(res.workdir, "checkpoints", "best", "metric.json")
+    assert os.path.exists(best_metric), "best/ export missing (eval decoupling)"
+    rec = json.load(open(best_metric))
+    # the recorded best must come from an eval step (multiples of 2),
+    # including ones that are NOT checkpoint steps
+    assert rec["step"] % 2 == 0 and 0 < rec["step"] <= 6
+    from brats2019_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(res.workdir)
+    restored = mgr.restore_best_params(res.params)
+    assert restored is not None
+    mgr.close()
