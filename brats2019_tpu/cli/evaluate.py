@@ -52,7 +52,11 @@ def main(argv=None) -> int:
 
     predictor = None
     if not args.use_existing:
-        params_fine = load_stage_params(exp, "fine")
+        try:
+            params_fine = load_stage_params(exp, "fine")
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         params_coarse = None
         if exp.infer.cascade and exp.coarse_unet is not None:
             try:

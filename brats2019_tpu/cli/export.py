@@ -33,12 +33,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
     exp = resolve_experiment(args)
     stages = []
     if args.stage in ("all", "fine"):
         stages.append("fine")
     if args.stage in ("all", "coarse") and exp.coarse_unet is not None:
         stages.append("coarse")
+    if not stages:
+        # --stage coarse on a cascade-less preset: exporting nothing while
+        # exiting 0 would read as success
+        print(
+            f"error: preset '{exp.name}' has no coarse stage to export",
+            file=sys.stderr,
+        )
+        return 2
     rc = 0
     for stage in stages:
         try:

@@ -76,8 +76,11 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     # so instead of silently dropping knobs the single-device path honors
     if exp.infer.cascade and exp.coarse_unet is not None:
         print("note: --multichip runs a single-stage whole-canvas "
-              "decomposition; the preset's coarse/fine cascade is bypassed "
-              "(masks match single-device predict --no-cascade)",
+              "decomposition; the preset's coarse/fine cascade is bypassed. "
+              "'sweep' reproduces the single-device no-cascade tiled sweep; "
+              "'spatial' is ONE whole-volume forward (no TTA, no sliding "
+              "window, whole-volume InstanceNorm stats) — masks are close "
+              "but not identical to the tiled path",
               file=sys.stderr)
     if exp.infer.postproc == "device":
         print("note: --multichip postprocesses on the host "

@@ -253,7 +253,16 @@ class Server:
                 )
             records.append(rec)
         self._log(records)
-        self.done.update(os.path.basename(d) for d in case_dirs)
+        # served and permanently-quarantined cases are done; a case whose
+        # failure outlived the in-process retries but classified TRANSIENT
+        # must stay retryable by THIS daemon (the next scan re-picks it at
+        # poll cadence) — not just by a restarted one via _load_done's
+        # replay (the 'DEFERRED' promise above was previously restart-only)
+        self.done.update(
+            os.path.basename(d)
+            for d, e in zip(case_dirs, errs)
+            if e is None or e[1] == "permanent"
+        )
         ok = sum(1 for e in errs if e is None)
         print(
             f"serve: {ok}/{len(case_dirs)} case(s) in {wall:.2f}s "

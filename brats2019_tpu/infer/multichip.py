@@ -16,11 +16,19 @@ Two decompositions over a ``('data',)`` device mesh:
 
 Both consume the standard trained UNet3D parameter pytree. They are
 SINGLE-STAGE whole-canvas decompositions: the coarse/fine cascade does
-not apply (`spatial` is one whole-volume forward; `sweep` tiles the full
-canvas), so masks match the single-device predictor configured with
-``cascade=False`` — validated on the 8-virtual-device CPU mesh
-(tests/test_multichip_cli.py). The predict CLI prints a notice when a
-cascade preset's coarse stage is being bypassed.
+not apply, and their parity contracts differ:
+
+* ``sweep`` runs the SAME tile grid/blending/TTA as the single-device
+  predictor with ``cascade=False`` — masks match it (validated on the
+  8-virtual-device CPU mesh, tests/test_multichip_cli.py).
+* ``spatial`` is ONE whole-volume forward: no TTA, no sliding window,
+  and InstanceNorm statistics over the whole volume instead of per tile.
+  Its parity reference is the UNSHARDED whole-volume forward (exact,
+  tests/test_spatial_unet.py) — masks are close to, but not identical
+  to, the tiled path's.
+
+The predict CLI prints a notice spelling this out when a cascade
+preset's coarse stage is being bypassed.
 """
 
 from __future__ import annotations
@@ -94,8 +102,11 @@ class MultichipPredictor:
                 tile, exp.infer.blend, exp.infer.gaussian_sigma_frac
             )
             self._sweep = distributed_tile_sweep(
-                lambda p: jax.nn.softmax(
-                    model.apply(self.params, p[None])[0].astype(jnp.float32), -1
+                # params ride as a runtime argument (params=...), NOT a
+                # closure — a closure would embed the full fine-model
+                # pytree into the executable as constants
+                lambda prm, p: jax.nn.softmax(
+                    model.apply(prm, p[None])[0].astype(jnp.float32), -1
                 ),
                 self.env,
                 self.canvas,
@@ -104,6 +115,7 @@ class MultichipPredictor:
                 weight,
                 ucfg.num_classes,
                 n_flips=8 if exp.infer.tta_flips else 1,
+                params=self.params,
             )
 
     def predict_arrays(self, image: np.ndarray) -> np.ndarray:

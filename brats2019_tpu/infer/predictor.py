@@ -40,12 +40,14 @@ from .postprocess import postprocess_labels
 def _start_host_copy(*arrays) -> None:
     """Kick off async device->host readback so it overlaps the next
     volume's device work (the blocking np.asarray in the post thread then
-    finds the bytes already in flight)."""
+    finds the bytes already in flight). Each array is attempted
+    independently — one failed kickoff must not skip the others (they just
+    pay the blocking fetch later)."""
     for a in arrays:
         try:
             a.copy_to_host_async()
         except (AttributeError, RuntimeError):
-            return
+            continue
 
 
 class _PairDispatcher:
@@ -297,17 +299,19 @@ class Predictor:
             if pair is not None:
                 pair.flush()
             results = [posts[i].result() for i in range(len(images))]
-        if not self._transfer_hinted:
-            hint = transfer_bound_hint(
-                self._prep_times[-len(images):],
-                time.time() - t_wall,
-                len(images),
-                self.exp.infer.transfer_dtype,
-            )
-            if hint:
-                self._transfer_hinted = True  # once per Predictor, not per batch
-                print(hint, file=sys.stderr)
+        self._maybe_transfer_hint(len(images), time.time() - t_wall)
         return results
+
+    def _maybe_transfer_hint(self, n: int, wall_s: float) -> None:
+        """Print the transfer-bound advisory at most once per Predictor."""
+        if self._transfer_hinted:
+            return
+        hint = transfer_bound_hint(
+            self._prep_times[-n:], wall_s, n, self.exp.infer.transfer_dtype
+        )
+        if hint:
+            self._transfer_hinted = True
+            print(hint, file=sys.stderr)
 
     def _pair_dispatcher(self):
         """Active only when configured AND the split cascade fast path is in
@@ -417,6 +421,7 @@ class Predictor:
             return out
 
         depth = max(1, self.exp.infer.serving_depth)
+        t_wall = time.time()
         with ThreadPoolExecutor(depth) as prep_pool, ThreadPoolExecutor(depth) as post_pool:
             preps = [
                 prep_pool.submit(load_and_prep, (i, d))
@@ -445,7 +450,12 @@ class Predictor:
                     pair.dispatch(dev_of(i), x_dev, emit)
             if pair is not None:
                 pair.flush()
-            return [posts[i].result() for i in range(len(case_dirs))]
+            results = [posts[i].result() for i in range(len(case_dirs))]
+        # same transfer-bound telemetry as predict_arrays_many — serve and
+        # the multi-case predict CLI come through THIS path, so the int8
+        # recommendation must fire here too
+        self._maybe_transfer_hint(len(case_dirs), time.time() - t_wall)
+        return results
 
     def predict_dir(
         self, case_dir: str, output_path: Optional[str] = None

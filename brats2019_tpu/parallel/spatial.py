@@ -114,7 +114,7 @@ def _maybe_flip(x: jnp.ndarray, flip_id: jnp.ndarray) -> jnp.ndarray:
 
 
 def distributed_tile_sweep(
-    tile_probs_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    tile_probs_fn: Callable[..., jnp.ndarray],
     env: MeshEnv,
     vol_shape: Tuple[int, int, int],
     origins: np.ndarray,            # (N, 3) static tile origins
@@ -122,6 +122,7 @@ def distributed_tile_sweep(
     weight_np: np.ndarray,          # (tx, ty, tz, 1)
     num_classes: int,
     n_flips: int = 1,
+    params=None,
 ) -> Callable:
     """Multi-chip sliding-window inference: (tile x flip) work items
     sharded over the mesh.
@@ -138,6 +139,14 @@ def distributed_tile_sweep(
     flips the patch by f's bits, forwards, un-flips the probs — the
     flips x tiles product striped across devices. Padding items reuse
     origins[0] with zero weight so the static ROI stays tight.
+
+    ``params``: when given, ``tile_probs_fn`` is called as
+    ``fn(params, patch)`` and the params pytree rides into the program as
+    a replicated runtime ARGUMENT — without this, a closure over a large
+    model pytree embeds every weight as a jit constant (duplicated into
+    the executable alongside the committed copy and pinned for the cache
+    lifetime). Closure mode (params=None, ``fn(patch)``) remains for
+    small nets and tests.
     """
     n_dev = env.n_data
     # static ROI spanned by the sweep
@@ -161,7 +170,9 @@ def distributed_tile_sweep(
     flips_sharded = items_f.reshape(n_dev, per_dev)
     valid_sharded = valid.reshape(n_dev, per_dev)
 
-    def local_sweep(vol, origins_l, flips_l, valid_l, weight):
+    has_params = params is not None
+
+    def local_sweep(vol, origins_l, flips_l, valid_l, weight, *maybe_p):
         # origins_l: (1, per_dev, 3) local shard; vol replicated
         origins_l, flips_l, valid_l = origins_l[0], flips_l[0], valid_l[0]
         roi_vol = jax.lax.dynamic_slice(
@@ -181,7 +192,11 @@ def distributed_tile_sweep(
             )
             patch = _maybe_flip(patch, flip_id)
             w = weight * v
-            probs = _maybe_flip(tile_probs_fn(patch), flip_id) * w
+            p_out = (
+                tile_probs_fn(maybe_p[0], patch) if has_params
+                else tile_probs_fn(patch)
+            )
+            probs = _maybe_flip(p_out, flip_id) * w
             cur = jax.lax.dynamic_slice(canvas, o, tuple(tile) + (num_classes,))
             canvas = jax.lax.dynamic_update_slice(canvas, cur + probs, o)
             curw = jax.lax.dynamic_slice(wsum, o, tuple(tile) + (1,))
@@ -199,10 +214,13 @@ def distributed_tile_sweep(
             full, roi_probs, (int(roi_lo[0]), int(roi_lo[1]), int(roi_lo[2]), 0)
         )
 
+    in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P())
+    if has_params:
+        in_specs = in_specs + (P(),)  # params replicated
     sharded = jax.shard_map(
         local_sweep,
         mesh=env.mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=in_specs,
         out_specs=P(),
         check_vma=False,  # psum makes the output replicated by construction
     )
@@ -211,8 +229,14 @@ def distributed_tile_sweep(
     v_dev = jnp.asarray(valid_sharded)
     w_dev = jnp.asarray(weight_np)
 
-    @jax.jit
+    # params must be ARGUMENTS of the jitted callable — a jit closing over
+    # them would trace them right back into constants
+    jit_sharded = jax.jit(sharded)
+
     def run(vol):
-        return sharded(vol, o_dev, f_dev, v_dev, w_dev)
+        args = (vol, o_dev, f_dev, v_dev, w_dev)
+        if has_params:
+            args = args + (params,)
+        return jit_sharded(*args)
 
     return run

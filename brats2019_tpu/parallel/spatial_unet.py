@@ -31,25 +31,24 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..models.unet3d import UNetConfig, depth_to_space, space_to_depth
+from ..ops.resize import downsample2x_jnp
 from .mesh import DATA_AXIS, MeshEnv
-from .spatial import halo_exchange
+from .spatial import halo_exchange, sharded_conv3d_local
+
+# halo-conv primitive: ONE definition (parallel/spatial.py); this module
+# only composes it into the U-Net structure
+_conv3_halo = sharded_conv3d_local
 
 
-def _conv3_halo(x, kernel, axis_name):
-    """SAME conv3d on an X-sharded (X_l, Y, Z, C) shard via halo exchange."""
-    kx, ky, kz = kernel.shape[:3]
-    hx = kx // 2
-    if hx:
-        x = halo_exchange(x, hx, axis_name)
-    pads = [(0, 0), (ky // 2, ky // 2), (kz // 2, kz // 2)]
-    return jax.lax.conv_general_dilated(
-        x[None], kernel, (1, 1, 1), pads,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )[0]
+def _instance_norm_act_sharded(
+    x, scale, bias, axis_name, activation="relu", eps=1e-5
+):
+    """IN+activation with exact global statistics: local reduce + psum.
+    The activation comes from UNetConfig (ops/norm._act), NOT a hardcoded
+    relu — a non-relu checkpoint must produce the same values sharded as
+    unsharded."""
+    from ..ops.norm import _act
 
-
-def _instance_norm_act_sharded(x, scale, bias, axis_name, eps=1e-5):
-    """IN+relu with exact global statistics: local reduce + psum."""
     xf = x.astype(jnp.float32)
     n_local = xf.shape[0] * xf.shape[1] * xf.shape[2]
     s1 = jax.lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axis_name)
@@ -59,15 +58,13 @@ def _instance_norm_act_sharded(x, scale, bias, axis_name, eps=1e-5):
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return jnp.maximum(y, 0.0).astype(x.dtype)
+    return _act(y, activation).astype(x.dtype)
 
 
 def _avg_pool2(x):
-    w = (2, 2, 2, 1)
-    s = jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add, w, w, "VALID"
-    )
-    return (s * 0.125).astype(x.dtype)
+    # the deterministic jnp resize (not the backend-switched downsample2x:
+    # a Pallas kernel inside shard_map is not a supported composition)
+    return downsample2x_jnp(x[None])[0]
 
 
 def _upsample2_halo(x, axis_name):
@@ -90,12 +87,13 @@ def _upsample2_halo(x, axis_name):
     return jnp.concatenate([first[None], up[1:-1], last[None]], axis=0)
 
 
-def _double_conv(x, p, axis_name):
+def _double_conv(x, p, axis_name, activation="relu"):
     for cna in ("ConvNormAct_0", "ConvNormAct_1"):
         sub = p[cna]
         x = _conv3_halo(x, sub["Conv_0"]["kernel"].astype(x.dtype), axis_name)
         x = _instance_norm_act_sharded(
-            x, sub["in_scale"], sub["in_bias"], axis_name
+            x, sub["in_scale"], sub["in_bias"], axis_name,
+            activation=activation,
         )
     return x
 
@@ -118,7 +116,7 @@ def spatial_unet_forward(
     dc = 0
     skips = []
     for lvl in range(cfg.levels):
-        x = _double_conv(x, p[f"DoubleConv_{dc}"], axis_name)
+        x = _double_conv(x, p[f"DoubleConv_{dc}"], axis_name, cfg.activation)
         dc += 1
         if lvl < cfg.levels - 1:
             skips.append(x)
@@ -127,7 +125,7 @@ def spatial_unet_forward(
     for lvl in reversed(range(cfg.levels - 1)):
         x = _upsample2_halo(x, axis_name)
         x = jnp.concatenate([x, skips[lvl].astype(dt)], axis=-1)
-        x = _double_conv(x, p[f"DoubleConv_{dc}"], axis_name)
+        x = _double_conv(x, p[f"DoubleConv_{dc}"], axis_name, cfg.activation)
         dc += 1
 
     head = p["head"]

@@ -110,12 +110,27 @@ def _quatern_to_affine(quatern, qoffset, zooms, qfac) -> np.ndarray:
     return aff
 
 
+class _OwningGzipFile(gzip.GzipFile):
+    """GzipFile that closes the raw file it wraps: ``GzipFile(fileobj=f)``
+    does NOT own ``f``, so without this every ``with read_nifti(...)``
+    on a .gz leaked the underlying fd until GC (EMFILE risk in a
+    long-running serve daemon on the pure-Python fallback path)."""
+
+    def close(self):
+        raw = self.fileobj
+        try:
+            super().close()
+        finally:
+            if raw is not None:
+                raw.close()
+
+
 def _maybe_gzip_open(path: str) -> _io.BufferedIOBase:
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=f)  # type: ignore[return-value]
+        return _OwningGzipFile(fileobj=f)  # type: ignore[return-value]
     return f
 
 

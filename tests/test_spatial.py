@@ -152,3 +152,34 @@ def test_distributed_tile_sweep_roi_restricted(env):
     got = np.asarray(fn(x))
     np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
     assert (got[:8] == 0).all() and (got[24:] == 0).all()
+
+
+def test_distributed_tile_sweep_params_argument_mode(env):
+    """params=... mode: tile_probs_fn(params, patch) with the params pytree
+    as a replicated runtime ARGUMENT (not jit constants) must match the
+    closure mode exactly."""
+    scale = jnp.float32(2.5)
+    prm = {"w": scale}
+
+    def probs_closure(patch):
+        v = patch[..., :1] * scale
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    def probs_params(p, patch):
+        v = patch[..., :1] * p["w"]
+        return jnp.concatenate([v, -v, v * 0 + 1, v * 0], axis=-1)
+
+    vol_shape = (24, 16, 8)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=vol_shape + (4,)), jnp.float32
+    )
+    origins = tile_origins(vol_shape, (8, 8, 8), overlap=0.5)
+    w = blend_weight((8, 8, 8), "gaussian")
+    ref = distributed_tile_sweep(
+        probs_closure, env, vol_shape, origins, (8, 8, 8), w, 4, n_flips=2
+    )(x)
+    got = distributed_tile_sweep(
+        probs_params, env, vol_shape, origins, (8, 8, 8), w, 4, n_flips=2,
+        params=prm,
+    )(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -23,8 +23,12 @@ def env():
         UNetConfig(levels=2, base_features=4, compute_dtype="float32",
                    stem_downsample=2),
         UNetConfig(levels=3, base_features=4, compute_dtype="float32"),
+        # non-relu activation: the sharded IN+act must honor
+        # UNetConfig.activation, not hardcode relu
+        UNetConfig(levels=2, base_features=4, compute_dtype="float32",
+                   activation="leaky_relu"),
     ],
-    ids=["plain-l2", "s2d-l2", "plain-l3"],
+    ids=["plain-l2", "s2d-l2", "plain-l3", "leaky-l2"],
 )
 def test_sharded_forward_matches_unsharded(env, cfg):
     model = UNet3D(cfg)
