@@ -156,6 +156,8 @@ def _parse_header(hdr_bytes: bytes) -> NiftiHeader:
     if not 1 <= ndim <= 7:
         raise ValueError(f"Bad ndim {ndim}")
     dim = tuple(int(d) for d in dim_full[1 : 1 + ndim])
+    if any(d <= 0 for d in dim):
+        raise ValueError(f"Bad NIfTI dim {dim}: all extents must be positive")
     (datatype,) = u("h", 70)
     (bitpix,) = u("h", 72)
     pixdim = u("8f", 76)
@@ -206,6 +208,11 @@ def read_nifti(
     with _maybe_gzip_open(path) as f:
         hdr_bytes = f.read(HDR_SIZE)
         hdr = _parse_header(hdr_bytes)
+        if hdr.vox_offset < HDR_SIZE:
+            raise ValueError(
+                f"Bad NIfTI vox_offset {hdr.vox_offset} (< header size "
+                f"{HDR_SIZE}) in {path}"
+            )
         f.read(hdr.vox_offset - HDR_SIZE)  # skip extensions
         n_items = int(np.prod(hdr.dim))
         item_dtype = hdr.np_dtype

@@ -111,3 +111,89 @@ def test_singleton_fourth_dim_squeezed(tmp_path):
     back, hdr = nifti.read_nifti(p)
     assert back.shape == (6, 5, 4)
     np.testing.assert_array_equal(back, data)
+
+
+# --- malformed-input robustness (SURVEY.md §7.3 hard part #1: the reader
+# must fail LOUDLY on corrupt files, never crash or mis-read silently) ---
+
+
+def _valid_bytes() -> bytearray:
+    import tempfile
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+
+    with tempfile.NamedTemporaryFile(suffix=".nii", delete=False) as f:
+        path = f.name
+    nifti.write_nifti(path, data)
+    raw = bytearray(open(path, "rb").read())
+    os.unlink(path)
+    return raw
+
+
+def _write(tmp_path, raw, name="bad.nii"):
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(raw)
+    return p
+
+
+def test_truncated_header_raises(tmp_path):
+    raw = _valid_bytes()[:100]
+    with pytest.raises(ValueError, match="truncated"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_bad_magic_sizeof_hdr_raises(tmp_path):
+    raw = _valid_bytes()
+    struct.pack_into("<i", raw, 0, 999)  # sizeof_hdr wrong in both endians
+    with pytest.raises(ValueError, match="Not a NIfTI-1"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_bad_ndim_raises(tmp_path):
+    raw = _valid_bytes()
+    struct.pack_into("<h", raw, 40, 0)  # dim[0] = 0
+    with pytest.raises(ValueError, match="ndim"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_negative_dim_raises(tmp_path):
+    raw = _valid_bytes()
+    struct.pack_into("<h", raw, 42, -2)  # dim[1] = -2
+    with pytest.raises(ValueError, match="positive"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_unsupported_datatype_raises(tmp_path):
+    raw = _valid_bytes()
+    struct.pack_into("<h", raw, 70, 1)  # DT_BINARY — unsupported
+    with pytest.raises(ValueError, match="datatype"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_bad_vox_offset_raises(tmp_path):
+    raw = _valid_bytes()
+    struct.pack_into("<f", raw, 108, 100.0)  # points inside the header
+    with pytest.raises(ValueError, match="vox_offset"):
+        nifti.read_nifti(_write(tmp_path, raw))
+
+
+def test_truncated_data_raises(tmp_path):
+    raw = _valid_bytes()
+    with pytest.raises(ValueError, match="truncated"):
+        nifti.read_nifti(_write(tmp_path, raw[:-10]))
+
+
+def test_gzip_garbage_raises(tmp_path):
+    p = str(tmp_path / "junk.nii.gz")
+    with open(p, "wb") as f:
+        f.write(b"\x1f\x8b" + b"\x00" * 64)  # gzip magic, garbage stream
+    with pytest.raises((OSError, EOFError, ValueError)):
+        nifti.read_nifti(p)
+
+
+def test_write_unsupported_dtype_raises(tmp_path):
+    with pytest.raises(ValueError, match="dtype"):
+        nifti.write_nifti(
+            str(tmp_path / "c.nii"), np.zeros((2, 2, 2), dtype=np.complex64)
+        )
