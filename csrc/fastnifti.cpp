@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <thread>
 #include <vector>
@@ -82,6 +83,15 @@ bool parse_header(const unsigned char* raw, size_t len, Header* h, char* err) {
   h->nx = rd16(42);
   h->ny = rd16(44);
   h->nz = rd16(46);
+  // A corrupt header with a non-positive extent would make n = nx*ny*nz
+  // negative downstream; (size_t)n then wraps the truncation check and the
+  // temp-buffer allocation throws past the C ABI (process abort). Reject
+  // here, before any size arithmetic.
+  if (h->nx <= 0 || h->ny <= 0 || h->nz <= 0) {
+    snprintf(err, 256, "bad dims (%lld,%lld,%lld): extents must be positive",
+             (long long)h->nx, (long long)h->ny, (long long)h->nz);
+    return false;
+  }
   for (int d = 4; d <= ndim; ++d) {
     if (rd16(40 + 2 * d) > 1) {
       snprintf(err, 256, "4D+ volumes unsupported in fast path");
@@ -92,13 +102,25 @@ bool parse_header(const unsigned char* raw, size_t len, Header* h, char* err) {
   h->scl_slope = rdf(112);
   h->scl_inter = rdf(116);
   float vox = rdf(108);
-  h->vox_offset = vox > 0 ? (int64_t)vox : 352;
+  if (std::isnan(vox) || vox <= 0.0f) {
+    h->vox_offset = 352;  // unset -> spec default for .nii
+  } else if (vox < 352.0f || vox > 1e12f) {
+    snprintf(err, 256, "bad vox_offset %g", (double)vox);
+    return false;
+  } else {
+    h->vox_offset = (int64_t)vox;
+  }
   h->swapped = swapped;
   return true;
 }
 
 // read whole file, transparently gunzipping (gzread handles plain files too)
 bool slurp(const char* path, std::vector<unsigned char>* out, char* err) {
+  // Inflation cap: the largest legal NIfTI-1 volume this loader accepts is
+  // 32767^3 voxels but a real BraTS case is ~110 MB decompressed; 4 GiB
+  // bounds any legitimate single volume while turning a gzip bomb into a
+  // clean error instead of an OOM abort of the serving process.
+  constexpr size_t kMaxBytes = (size_t)4 << 30;
   gzFile f = gzopen(path, "rb");
   if (!f) {
     snprintf(err, 256, "cannot open %s", path);
@@ -110,6 +132,11 @@ bool slurp(const char* path, std::vector<unsigned char>* out, char* err) {
   unsigned char buf[1 << 20];
   int n;
   while ((n = gzread(f, buf, sizeof(buf))) > 0) {
+    if (out->size() + (size_t)n > kMaxBytes) {
+      snprintf(err, 256, "file too large (>4GiB decompressed): %s", path);
+      gzclose(f);
+      return false;
+    }
     out->insert(out->end(), buf, buf + n);
   }
   bool ok = n == 0;
@@ -139,7 +166,7 @@ struct FNInfo {
 };
 
 // Probe dims so the caller can allocate. Returns 0 on success.
-int fn_probe(const char* path, int64_t dims[3]) {
+int fn_probe(const char* path, int64_t dims[3]) try {
   char err[256];
   std::vector<unsigned char> bytes;
   // header is at the front; but gz needs sequential read — read all (cheap
@@ -151,6 +178,10 @@ int fn_probe(const char* path, int64_t dims[3]) {
   dims[1] = h.ny;
   dims[2] = h.nz;
   return 0;
+} catch (...) {
+  // no exception may cross the C ABI (std::terminate); bad_alloc from a
+  // hostile header or OOM becomes an ordinary failure code
+  return 3;
 }
 
 // Decode one volume into an interleaved float32 canvas:
@@ -164,7 +195,7 @@ int fn_probe(const char* path, int64_t dims[3]) {
 // corruption). When expect is non-null and any dim differs, fail BEFORE
 // touching `out`.
 int fn_read_volume(const char* path, float* out, int64_t stride,
-                   int64_t offset, const int64_t* expect, FNInfo* info) {
+                   int64_t offset, const int64_t* expect, FNInfo* info) try {
   info->ok = 0;
   std::vector<unsigned char> bytes;
   if (!slurp(path, &bytes, info->err)) return 1;
@@ -285,6 +316,18 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
   }
   info->ok = 1;
   return 0;
+} catch (const std::exception& e) {
+  // exception barrier: bad_alloc/length_error from hostile headers or OOM
+  // must not cross the C ABI (std::terminate would kill the serving
+  // process — and inside fn_read_case's worker threads, any escape is
+  // fatal even with a caller-side try)
+  info->ok = 0;
+  snprintf(info->err, 256, "native decode failed: %s", e.what());
+  return 6;
+} catch (...) {
+  info->ok = 0;
+  snprintf(info->err, 256, "native decode failed: unknown exception");
+  return 6;
 }
 
 // Load a whole case (n files -> interleaved (X,Y,Z,n) float32), one thread
@@ -292,7 +335,7 @@ int fn_read_volume(const char* path, float* out, int64_t stride,
 // file's header must match or its decode fails with rc 5 (no OOB write).
 // Returns 0 iff every file decoded.
 int fn_read_case(const char** paths, int32_t n, float* out,
-                 const int64_t* expect, FNInfo* infos, int32_t max_threads) {
+                 const int64_t* expect, FNInfo* infos, int32_t max_threads) try {
   // Honor the caller's thread cap (the exported ABI advertises it): decode
   // in waves of at most `tcount` concurrent files. n is small (4-5), so
   // with the default cap this is still one thread per file in one wave.
@@ -311,6 +354,8 @@ int fn_read_case(const char** paths, int32_t n, float* out,
     if (!infos[i].ok) return 1;
   }
   return 0;
+} catch (...) {
+  return 2;  // e.g. std::system_error from thread creation; see barrier above
 }
 
 }  // extern "C"

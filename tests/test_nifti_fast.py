@@ -76,3 +76,52 @@ def test_stats_and_bbox_match(case_dir):
     bbox = brain_bbox_np(fast)
     np.testing.assert_array_equal(meta["bbox_lo"], bbox.lo)
     np.testing.assert_array_equal(meta["bbox_hi"], bbox.hi)
+
+
+def _corrupt(tmp_path, name, mutate):
+    """Write a small valid .nii then apply ``mutate(bytearray)``."""
+    import struct
+
+    from brats2019_tpu.utils.nifti import write_nifti
+
+    p = tmp_path / name
+    write_nifti(str(p), np.ones((4, 4, 4), np.int16))
+    raw = bytearray(p.read_bytes())
+    mutate(raw, struct)
+    p.write_bytes(bytes(raw))
+    return str(p)
+
+
+def test_negative_dim_fails_cleanly(tmp_path):
+    """dim[1] = -1 used to wrap the truncation check (size_t) and throw
+    bad_alloc across the C ABI -> std::terminate of the host process. Must
+    be an ordinary failure (None), process alive."""
+    p = _corrupt(
+        tmp_path, "negdim.nii",
+        lambda raw, struct: struct.pack_into("<h", raw, 42, -1),
+    )
+    assert nifti_fast.load_volumes_fast([p]) is None
+
+
+def test_bad_vox_offset_fails_cleanly(tmp_path):
+    p = _corrupt(
+        tmp_path, "voxoff.nii",
+        lambda raw, struct: struct.pack_into("<f", raw, 108, 100.0),
+    )
+    assert nifti_fast.load_volumes_fast([p]) is None
+
+
+def test_gzip_garbage_fails_cleanly(tmp_path):
+    p = str(tmp_path / "junk.nii.gz")
+    with open(p, "wb") as f:
+        f.write(b"\x1f\x8b" + b"\x00" * 64)
+    assert nifti_fast.load_volumes_fast([p]) is None
+
+
+def test_truncated_data_fails_cleanly(tmp_path):
+    from brats2019_tpu.utils.nifti import write_nifti
+
+    p = tmp_path / "trunc.nii"
+    write_nifti(str(p), np.ones((8, 8, 8), np.int16))
+    p.write_bytes(p.read_bytes()[:-32])
+    assert nifti_fast.load_volumes_fast([str(p)]) is None
