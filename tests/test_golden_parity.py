@@ -137,3 +137,59 @@ def test_argmax_masks_match_exactly(models):
     margin = np.sort(jl, axis=-1)
     tie = (margin[..., -1] - margin[..., -2]) < 1e-4
     assert (jm == tm)[~tie].all()
+
+
+def test_gradients_match(models):
+    """Backward parity: d(loss)/d(input) and d(loss)/d(params) must match
+    torch autograd through the full net. Pins the BACKWARD semantics of
+    every block (conv transpose, InstanceNorm backward incl. the biased-
+    variance correction, avg-pool backward, half-pixel trilinear VJP) the
+    same way the forward tests pin the forward. Loss = mean(softmax(l)*W)
+    with fixed W: smooth, touches every output, framework-neutral."""
+    model, params, tmodel = models
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 16, 16, 16, 4)).astype(np.float32)
+    w = rng.normal(size=(1, 16, 16, 16, CFG.num_classes)).astype(np.float32)
+
+    def jloss(params, x):
+        logits = model.apply(params, x)
+        return jnp.mean(jax.nn.softmax(logits, -1) * w)
+
+    jgx, jgp = jax.grad(jloss, argnums=(1, 0))(params, jnp.asarray(x))
+    jgx = np.asarray(jgx)
+
+    tx = torch.from_numpy(x.transpose(0, 4, 1, 2, 3).copy()).requires_grad_()
+    tw = torch.from_numpy(w.transpose(0, 4, 1, 2, 3).copy())
+    tmodel.zero_grad()
+    tloss = (torch.softmax(tmodel(tx), dim=1) * tw).mean()
+    tloss.backward()
+    tgx = tx.grad.numpy().transpose(0, 2, 3, 4, 1)
+
+    scale = np.abs(tgx).max()
+    np.testing.assert_allclose(jgx, tgx, atol=2e-5 * scale, rtol=2e-3)
+
+    # parameter grads: first conv kernel, a decoder IN scale, head kernel
+    p = jgp["params"]
+    first = np.asarray(
+        p["DoubleConv_0"]["ConvNormAct_0"]["Conv_0"]["kernel"]
+    ).transpose(4, 3, 0, 1, 2)
+    t_first = tmodel.blocks[0]["c1"].weight.grad.numpy()
+    np.testing.assert_allclose(
+        first, t_first, atol=2e-5 * np.abs(t_first).max(), rtol=2e-3
+    )
+
+    last_dc = sorted(
+        (k for k in p if k.startswith("DoubleConv_")),
+        key=lambda s: int(s.split("_")[1]),
+    )[-1]
+    j_scale = np.asarray(p[last_dc]["ConvNormAct_1"]["in_scale"])
+    t_scale = tmodel.blocks[-1]["n2"].weight.grad.numpy()
+    np.testing.assert_allclose(
+        j_scale, t_scale, atol=2e-5 * np.abs(t_scale).max(), rtol=2e-3
+    )
+
+    head = np.asarray(p["head"]["kernel"]).transpose(4, 3, 0, 1, 2)
+    t_head = tmodel.head.weight.grad.numpy()
+    np.testing.assert_allclose(
+        head, t_head, atol=2e-5 * np.abs(t_head).max(), rtol=2e-3
+    )
