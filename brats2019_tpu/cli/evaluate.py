@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-existing", action="store_true",
                    help="score existing *_pred.nii.gz instead of predicting")
     p.add_argument("--out", default=None, help="write JSON metrics here")
+    p.add_argument("--hd95", action="store_true",
+                   help="also report Hausdorff95 (mm) per region — the BraTS "
+                        "challenge's second official metric; an empty-vs-"
+                        "nonempty region scores the volume diagonal "
+                        "(the online evaluator's 373.13 mm convention)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -88,15 +93,29 @@ def main(argv=None) -> int:
             pred, _ = predictor.predict_case(case)
         d_scores = region_dice_np(pred, case.seg)
         per_case[case.name] = {k: round(float(v), 5) for k, v in d_scores.items()}
+        if args.hd95:
+            from ..train.metrics import region_hd95_np
+
+            spacing = tuple(case.header.pixdim[1:4]) if case.header else (1.0,) * 3
+            spacing = tuple(s if s > 0 else 1.0 for s in spacing)
+            hd = region_hd95_np(pred, case.seg, spacing)
+            # empty-vs-nonempty -> the volume diagonal (BraTS convention)
+            diag = float(np.linalg.norm(np.asarray(pred.shape) * spacing))
+            hd = {k: (diag if np.isinf(v) else v) for k, v in hd.items()}
+            per_case[case.name].update(
+                {f"HD95_{k}": round(float(v), 3) for k, v in hd.items()}
+            )
         print(f"[evaluate] {case.name}: " +
-              " ".join(f"{k}={v:.4f}" for k, v in d_scores.items()), flush=True)
+              " ".join(f"{k}={v:.4f}" for k, v in per_case[case.name].items()),
+              flush=True)
 
     if not per_case:
         print("error: nothing evaluated", file=sys.stderr)
         return 2
+    metric_keys = next(iter(per_case.values())).keys()
     mean = {
         k: round(float(np.mean([c[k] for c in per_case.values()])), 5)
-        for k in ("WT", "TC", "ET")
+        for k in metric_keys
     }
     print(f"[evaluate] mean over {len(per_case)} case(s): " +
           " ".join(f"{k}={v:.4f}" for k, v in mean.items()), flush=True)

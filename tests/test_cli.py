@@ -43,12 +43,17 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     out_json = str(tmp_path / "metrics.json")
     rc = cli_evaluate.main([
         data, "--preset", "unit", "--workdir", workdir,
-        "--use-existing", "--out", out_json,
+        "--use-existing", "--out", out_json, "--hd95",
     ])
     assert rc == 0
     metrics = json.load(open(out_json))
-    assert set(metrics["mean"]) == {"WT", "TC", "ET"}
+    assert set(metrics["mean"]) == {
+        "WT", "TC", "ET", "HD95_WT", "HD95_TC", "HD95_ET",
+    }
     assert metrics["n_cases"] == 1  # only one case predicted
+    diag = float(np.linalg.norm((32, 32, 32)))  # empty-vs-nonempty penalty cap
+    for k in ("HD95_WT", "HD95_TC", "HD95_ET"):
+        assert 0.0 <= metrics["mean"][k] <= diag + 1e-3  # values round to 3dp
 
 
 def test_train_cli_errors():

@@ -97,3 +97,69 @@ def test_lowres_loss_matches_fullres():
                                float(aux_l["dice_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(aux_f["region_dice_loss"]),
                                float(aux_l["region_dice_loss"]), rtol=1e-5)
+
+
+# --- Hausdorff95 (BraTS's second official metric) ----------------------------
+
+
+def test_hd95_identical_masks_is_zero():
+    m = np.zeros((12, 12, 12), bool)
+    m[3:8, 3:8, 3:8] = True
+    assert M.hd95_np(m, m) == 0.0
+
+
+def test_hd95_known_offset():
+    # two parallel 1-voxel-thick plates k voxels apart: every surface voxel
+    # of one is exactly k from the other -> HD95 == k
+    a = np.zeros((20, 8, 8), bool)
+    b = np.zeros((20, 8, 8), bool)
+    a[5, :, :] = True
+    b[9, :, :] = True
+    assert M.hd95_np(a, b) == 4.0
+    # anisotropic spacing scales the axis
+    assert M.hd95_np(a, b, spacing=(2.0, 1.0, 1.0)) == 8.0
+
+
+def test_hd95_asymmetric_takes_max_direction():
+    # b == a plus a far blob covering >5% of b's surface: a->b distances
+    # stay 0, b->a picks up the blob, and the symmetric max must see it.
+    # (A single far voxel must NOT register — that is the 95th-percentile
+    # robustness HD95 exists for; checked below.)
+    a = np.zeros((30, 8, 8), bool)
+    a[2:6, 2:6, 2:6] = True
+    b = a.copy()
+    b[24:27, 2:5, 2:5] = True  # 27 voxels vs the cube's 56 surface voxels
+    assert M.hd95_np(a, b) > 15.0
+    b1 = a.copy()
+    b1[25, 3, 3] = True  # 1 of 57 surface voxels -> inside the 5% tail
+    assert M.hd95_np(a, b1) == 0.0
+
+
+def test_hd95_empty_conventions():
+    empty = np.zeros((8, 8, 8), bool)
+    full = np.zeros((8, 8, 8), bool)
+    full[2:5, 2:5, 2:5] = True
+    assert M.hd95_np(empty, empty) == 0.0
+    assert np.isinf(M.hd95_np(empty, full))
+    assert np.isinf(M.hd95_np(full, empty))
+
+
+def test_region_hd95_matches_manual_masks():
+    pred = np.zeros((16, 16, 16), np.int32)
+    gt = np.zeros((16, 16, 16), np.int32)
+    pred[4:8, 4:8, 4:8] = 3  # ET cube
+    gt[4:8, 4:8, 4:8] = 3
+    gt[10:12, 4:8, 4:8] = 2  # extra edema only in gt -> WT differs
+    out = M.region_hd95_np(pred, gt)
+    assert out["ET"] == 0.0 and out["TC"] == 0.0
+    manual = M.hd95_np(pred > 0, gt > 0)
+    assert out["WT"] == manual and out["WT"] > 0.0
+
+
+def test_hd95_bbox_restriction_is_exact():
+    # same masks placed in a big volume vs a tight one: identical distances
+    a_s = np.zeros((14, 14, 14), bool); a_s[3:6, 3:6, 3:6] = True
+    b_s = np.zeros((14, 14, 14), bool); b_s[7:10, 3:6, 3:6] = True
+    a_big = np.zeros((64, 64, 64), bool); a_big[33:36, 33:36, 33:36] = True
+    b_big = np.zeros((64, 64, 64), bool); b_big[37:40, 33:36, 33:36] = True
+    assert M.hd95_np(a_s, b_s) == M.hd95_np(a_big, b_big)
