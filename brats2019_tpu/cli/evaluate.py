@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "challenge's second official metric; an empty-vs-"
                         "nonempty region scores the volume diagonal "
                         "(the online evaluator's 373.13 mm convention)")
+    p.add_argument("--sens-spec", action="store_true",
+                   help="also report per-region sensitivity/specificity "
+                        "(completes the BraTS online evaluator's metric set)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -104,6 +107,13 @@ def main(argv=None) -> int:
             hd = {k: (diag if np.isinf(v) else v) for k, v in hd.items()}
             per_case[case.name].update(
                 {f"HD95_{k}": round(float(v), 3) for k, v in hd.items()}
+            )
+        if args.sens_spec:
+            from ..train.metrics import region_sens_spec_np
+
+            per_case[case.name].update(
+                {k: round(float(v), 5)
+                 for k, v in region_sens_spec_np(pred, case.seg).items()}
             )
         print(f"[evaluate] {case.name}: " +
               " ".join(f"{k}={v:.4f}" for k, v in per_case[case.name].items()),

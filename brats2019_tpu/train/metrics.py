@@ -117,3 +117,27 @@ def region_hd95_np(
         g = _region_mask(gt, classes, np)
         out[name] = hd95_np(p, g, spacing)
     return out
+
+
+def region_sens_spec_np(
+    pred: np.ndarray, gt: np.ndarray
+) -> Dict[str, float]:
+    """Per-region sensitivity (TP/P) and specificity (TN/N) — the remaining
+    two metrics of the BraTS online evaluator's report [B]. Empty-region
+    conventions mirror Dice: no positive ground truth -> sensitivity 1.0;
+    no negative ground truth -> specificity 1.0.
+
+    Returns ``{"Sens_WT": ..., "Spec_WT": ..., ...}``.
+    """
+    out = {}
+    n_vox = int(np.prod(gt.shape))
+    for name, classes in REGIONS.items():
+        p = _region_mask(pred, classes, np)
+        g = _region_mask(gt, classes, np)
+        tp = int(np.sum(p & g))
+        pos = int(np.sum(g))
+        tn = int(np.sum(~p & ~g))
+        neg = n_vox - pos
+        out[f"Sens_{name}"] = 1.0 if pos == 0 else tp / pos
+        out[f"Spec_{name}"] = 1.0 if neg == 0 else tn / neg
+    return out

@@ -163,3 +163,24 @@ def test_hd95_bbox_restriction_is_exact():
     a_big = np.zeros((64, 64, 64), bool); a_big[33:36, 33:36, 33:36] = True
     b_big = np.zeros((64, 64, 64), bool); b_big[37:40, 33:36, 33:36] = True
     assert M.hd95_np(a_s, b_s) == M.hd95_np(a_big, b_big)
+
+
+def test_region_sens_spec_known_counts():
+    pred = np.zeros((10, 10, 10), np.int32)
+    gt = np.zeros((10, 10, 10), np.int32)
+    gt[0:4, 0:5, 0:5] = 1    # 100 positive WT voxels
+    pred[0:2, 0:5, 0:5] = 1  # covers 50 of them, no false positives
+    out = M.region_sens_spec_np(pred, gt)
+    assert out["Sens_WT"] == 0.5
+    assert out["Spec_WT"] == 1.0
+    # ET empty in both: sensitivity convention 1.0, specificity exact
+    assert out["Sens_ET"] == 1.0 and out["Spec_ET"] == 1.0
+
+
+def test_region_sens_spec_false_positives_hit_specificity():
+    pred = np.zeros((10, 10, 10), np.int32)
+    gt = np.zeros((10, 10, 10), np.int32)
+    pred[0:5, 0:5, 0:4] = 3  # 100 FP ET voxels, 1000 total
+    out = M.region_sens_spec_np(pred, gt)
+    assert out["Sens_ET"] == 1.0       # no positives to miss
+    assert out["Spec_ET"] == 0.9       # 900/1000 true negatives
