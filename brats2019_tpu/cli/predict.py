@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "b16 device program (~13%% device throughput for "
                         "co-located serving; couples latency). Only "
                         "pairing (2) is implemented")
+    p.add_argument("--save-probs", action="store_true",
+                   help="also write <case>_probs.npz: the TTA-mean class "
+                        "probabilities (float16, (X,Y,Z,4), BraTS disk "
+                        "class order [0,1,2,4]) for offline ensembling / "
+                        "uncertainty workflows (one extra device pass per "
+                        "case; not available with --multichip)")
     p.add_argument("--multichip", default=None, choices=("spatial", "sweep"),
                    help="run inference over ALL local devices as one mesh: "
                         "'spatial' = whole-volume forward, X axis sharded "
@@ -174,6 +180,10 @@ def main(argv=None) -> int:
             )
 
     if args.multichip:
+        if args.save_probs:
+            print("error: --save-probs is not available with --multichip",
+                  file=sys.stderr)
+            return 2
         return _predict_multichip(args, exp, params_fine, cases)
 
     from ..infer.predictor import Predictor
@@ -198,6 +208,10 @@ def main(argv=None) -> int:
             outs = predictor.predict_dirs(cases)
             for d, out in zip(cases, outs):
                 print(f"[predict] {d} -> {out}", flush=True)
+        if args.save_probs:
+            for d in cases:
+                p_out = predictor.predict_probs_dir(d)
+                print(f"[predict] {d} probs -> {p_out}", flush=True)
     finally:
         # an exception mid-predict must still finalize the trace (ADVICE
         # round 2) — an open trace dir is unreadable by tensorboard

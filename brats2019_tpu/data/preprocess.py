@@ -280,9 +280,10 @@ def uncrop_from_canvas_np(
         start, n, fit_dst = center_fit_axis(cropped_shape[ax], canvas[ax])
         src_sl.append(fit_dst)                    # read where fit wrote
         dst_sl.append(slice(start, start + n))    # write where fit read
-    cropped = np.zeros(cropped_shape, dtype=labels_canvas.dtype)
+    extra = labels_canvas.shape[3:]  # trailing dims (e.g. class probs) ride along
+    cropped = np.zeros(tuple(cropped_shape) + extra, dtype=labels_canvas.dtype)
     cropped[tuple(dst_sl)] = labels_canvas[tuple(src_sl)]
-    out = np.zeros(bbox.full_shape, dtype=labels_canvas.dtype)
+    out = np.zeros(tuple(bbox.full_shape) + extra, dtype=labels_canvas.dtype)
     sl = tuple(slice(l, h) for l, h in zip(bbox.lo, bbox.hi))
     out[sl] = cropped
     return out

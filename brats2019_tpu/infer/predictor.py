@@ -388,6 +388,56 @@ class Predictor:
         del self._prep_times[:-64]
         return canvas_img, bbox.shape, bbox
 
+    def predict_probs_arrays(
+        self, image: np.ndarray, meta: Optional[dict] = None
+    ) -> Tuple[np.ndarray, PredictionStats]:
+        """Mean class probabilities for the whole volume (X, Y, Z, C) f32 —
+        the same TTA-averaged canvas the labels are argmaxed from, for
+        offline ensembling / uncertainty workflows. Voxels outside the
+        predicted ROI/brain bbox get exact background one-hot."""
+        t0 = time.time()
+        canvas_img, cropped_shape, bbox = self._prep_to(
+            image, self._default_dev, meta=meta
+        )
+        t1 = time.time()
+        probs_r, start = self._fn.probs_fn(
+            self.params_fine, self.params_coarse, canvas_img
+        )
+        probs_np = np.asarray(jax.device_get(probs_r), np.float32)
+        start_np = np.asarray(jax.device_get(start))
+        t2 = time.time()
+        if probs_np.shape[:3] == self.canvas:
+            canvas_p = probs_np
+        else:
+            canvas_p = np.zeros(
+                self.canvas + (probs_np.shape[-1],), np.float32
+            )
+            sx, sy, sz = (int(v) for v in start_np)
+            rx, ry, rz = probs_np.shape[:3]
+            canvas_p[sx:sx + rx, sy:sy + ry, sz:sz + rz] = probs_np
+        probs = self._uncrop(canvas_p, cropped_shape, bbox)
+        empty = probs.sum(-1) == 0  # never written -> exact background
+        probs[empty, 0] = 1.0
+        t3 = time.time()
+        return probs, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
+
+    def predict_probs_dir(
+        self, case_dir: str, output_path: Optional[str] = None
+    ) -> str:
+        """Write a case's probability canvas as ``<case>_probs.npz``
+        (float16 ``probs`` (X, Y, Z, 4) + ``classes`` naming the channel
+        order in BraTS disk labels [0, 1, 2, 4])."""
+        case = load_case(case_dir, load_seg=False)
+        probs, _ = self.predict_probs_arrays(case.image, meta=case.meta)
+        if output_path is None:
+            output_path = os.path.join(case_dir, f"{case.name}_probs.npz")
+        np.savez_compressed(
+            output_path,
+            probs=probs.astype(np.float16),
+            classes=np.array([0, 1, 2, 4], np.int32),
+        )
+        return output_path
+
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image, meta=case.meta)
 

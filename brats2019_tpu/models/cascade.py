@@ -102,14 +102,17 @@ def make_predict_fn(
         region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
         return region, start
 
-    def predict(params_fine, params_coarse, image):
+    def _monolithic_probs(params_fine, params_coarse, image):
+        """z-score + (cascade ROI) + blended sliding-window TTA mean
+        probabilities: the shared core of the monolithic label and probs
+        outputs (argmax is the only difference)."""
         image = zscore(image.astype(jnp.float32))
         weight = jnp.asarray(weight_np)
 
         if use_cascade:
             region, start = _coarse_roi(params_coarse, image)
         else:
-            region = image
+            region, start = image, jnp.zeros((3,), jnp.int32)
 
         probs_r = sliding_window_probs(
             lambda p: fine_tile_probs(params_fine, p),
@@ -119,7 +122,10 @@ def make_predict_fn(
             weight,
             num_classes,
         )
+        return probs_r, start
 
+    def predict(params_fine, params_coarse, image):
+        probs_r, start = _monolithic_probs(params_fine, params_coarse, image)
         labels_r = jnp.argmax(probs_r, axis=-1).astype(jnp.uint8)
         if cfg.postproc == "device":
             labels_r = _postprocess_device(
@@ -129,9 +135,13 @@ def make_predict_fn(
         # return only the ROI labels + placement: the fetch back to the host
         # is 3-4x smaller than a full canvas and the host paste is a memcpy
         # (the probability canvas was dead weight — never fetched)
-        if use_cascade:
-            return labels_r, start
-        return labels_r, jnp.zeros((3,), jnp.int32)
+        return labels_r, start
+
+    def predict_probs_monolithic(params_fine, params_coarse, image):
+        """Opt-in probability output (ensembling / uncertainty workflows):
+        same mean-probability canvas the labels are argmaxed from, f32."""
+        probs_r, start = _monolithic_probs(params_fine, params_coarse, image)
+        return probs_r.astype(jnp.float32), start
 
     store_dt = (
         jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32
@@ -157,7 +167,9 @@ def make_predict_fn(
     )
 
     if not split_tta and not staged_sweep:
-        return jax.jit(predict)
+        fn = jax.jit(predict)
+        fn.probs_fn = jax.jit(predict_probs_monolithic)
+        return fn
 
     use_lowres = fine_lowres_apply is not None and stem > 1
 
@@ -190,6 +202,17 @@ def make_predict_fn(
         r = stem
         d, h, w = blk.shape[:3]
         return blk.transpose(0, 3, 1, 4, 2, 5).reshape(d * r, h * r, w * r)
+
+    def _probs_from_blocks(blk):
+        """(d, h, w, r, r, r, K) block probs -> (d*r, h*r, w*r, K): the same
+        d2s rearrange with the class axis riding along — argmax commutes
+        with it, so argmax(_probs_from_blocks(p)) == _labels_from_blocks(
+        argmax(p)) exactly."""
+        r = stem
+        d, h, w = blk.shape[:3]
+        return blk.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+            d * r, h * r, w * r, blk.shape[-1]
+        )
 
     def _finish_one(labels_r):
         if cfg.postproc == "device":
@@ -226,10 +249,11 @@ def make_predict_fn(
             ])
             return stacks, start
 
-        def stage_sweep_finish(params_fine, stacks, start):
+        def _sweep_probs_lr(params_fine, stacks):
             """scan over tiles: merged b8 fine forward + low-res TTA mean,
-            blended into a low-res block canvas; argmax + label rearrange
-            at the end. No reverse ever neighbors the convs."""
+            blended into a low-res block canvas of weight-normalized mean
+            probabilities (d, h, w, r, r, r, K). No reverse ever neighbors
+            the convs."""
             canvas_lr = jnp.zeros(sweep_lr + (r, r, r, num_classes), jnp.float32)
             wsum_lr = jnp.zeros(sweep_lr + (r, r, r, 1), jnp.float32)
             w_lr = jnp.asarray(w_lr_np)
@@ -259,19 +283,31 @@ def make_predict_fn(
                 body, (canvas_lr, wsum_lr),
                 (stacks, origins_lr),
             )
-            probs = canvas_lr / jnp.maximum(wsum_lr, 1e-8)
+            return canvas_lr / jnp.maximum(wsum_lr, 1e-8)
+
+        def stage_sweep_finish(params_fine, stacks, start):
+            probs = _sweep_probs_lr(params_fine, stacks)
             blk = jnp.argmax(probs, -1).astype(jnp.uint8)
             labels = _labels_from_blocks(blk)
             return _finish_one(labels), start
 
+        def stage_sweep_probs(params_fine, stacks, start):
+            return _probs_from_blocks(_sweep_probs_lr(params_fine, stacks)), start
+
         j_stack = jax.jit(stage_sweep_stack)
         j_sweep_finish = jax.jit(stage_sweep_finish)
+        j_sweep_probs = jax.jit(stage_sweep_probs)
 
         def predict_sweep(params_fine, params_coarse, image):
             stacks, start = j_stack(params_coarse, image)
             return j_sweep_finish(params_fine, stacks, start)
 
+        def predict_sweep_probs(params_fine, params_coarse, image):
+            stacks, start = j_stack(params_coarse, image)
+            return j_sweep_probs(params_fine, stacks, start)
+
         predict_sweep.stages = (j_stack, j_sweep_finish)
+        predict_sweep.probs_fn = predict_sweep_probs
         return predict_sweep
 
     def stage_roi(params_coarse, image):
@@ -323,15 +359,35 @@ def make_predict_fn(
             lb = _reduce_fullres(logits[n:])
         return _finish_one(la), start_a, _finish_one(lb), start_b
 
+    def stage_finish_probs(params_fine, tiles, start):
+        """Probs sibling of ``stage_finish``: the same mean probabilities
+        the labels are argmaxed from, at full resolution, f32."""
+        if use_lowres:
+            probs = _probs_from_blocks(
+                _lowres_mean_probs(fine_lowres_apply(params_fine, tiles))
+            )
+        else:
+            probs8 = jax.nn.softmax(
+                fine_apply(params_fine, tiles).astype(jnp.float32), -1
+            )
+            probs = tta_reduce(probs8.astype(store_dt))
+        return probs.astype(jnp.float32), start
+
     j_roi = jax.jit(stage_roi)
     j_finish = jax.jit(stage_finish)
+    j_finish_probs = jax.jit(stage_finish_probs)
 
     def predict_split(params_fine, params_coarse, image):
         tiles, start = j_roi(params_coarse, image)
         return j_finish(params_fine, tiles, start)
 
+    def predict_split_probs(params_fine, params_coarse, image):
+        tiles, start = j_roi(params_coarse, image)
+        return j_finish_probs(params_fine, tiles, start)
+
     predict_split.stages = (j_roi, j_finish)  # for stage profiling
     predict_split.fine_pair = jax.jit(stage_finish_pair)
+    predict_split.probs_fn = predict_split_probs
     return predict_split
 
 

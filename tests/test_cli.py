@@ -33,12 +33,15 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(workdir, "fine", "params.npz"))
 
     case = os.path.join(data, "BraTS19_SYN_000_1")
-    rc = cli_predict.main([case, "--preset", "unit", "--workdir", workdir])
+    rc = cli_predict.main([case, "--preset", "unit", "--workdir", workdir,
+                           "--save-probs"])
     assert rc == 0
     pred_path = os.path.join(case, "BraTS19_SYN_000_1_pred.nii.gz")
     seg, _ = read_nifti(pred_path, apply_scaling=False)
     assert seg.shape == (32, 32, 32)
     assert set(np.unique(seg)) <= {0, 1, 2, 4}
+    probs = np.load(os.path.join(case, "BraTS19_SYN_000_1_probs.npz"))
+    assert probs["probs"].shape == (32, 32, 32, 4)
 
     out_json = str(tmp_path / "metrics.json")
     rc = cli_evaluate.main([

@@ -441,3 +441,106 @@ def test_transfer_bound_hint_policy():
 
     # too few samples for a meaningful median -> no hint
     assert transfer_bound_hint([0.1] * 2, 2 * 0.12, 2, "bfloat16") is None
+
+
+def test_probs_fn_matches_labels_all_paths():
+    """The opt-in probability output (``probs_fn`` on every predict path)
+    must be the same canvas the labels are argmaxed from: argmax(probs) ==
+    labels (pre-postproc) and probs are a mean of softmaxes (sum to 1)."""
+    from brats2019_tpu.models.cascade import make_predict_fn
+
+    ucfg2 = UNetConfig(levels=2, base_features=4, compute_dtype="float32",
+                       stem_downsample=2)
+    fine = UNet3D(ucfg2)
+    fine_apply = lambda p, x: fine.apply(p, x)
+    fine_lr = lambda p, x: fine.apply(p, x, subpixel=False)
+    pf = fine.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)))
+    coarse = UNet3D(UCFG)
+    pc = _init_params(1)
+
+    # (a) split fast path (cascade, roi == tile, stem=2 low-res reduce)
+    cfg = InferenceConfig(
+        canvas=None, tile=(16, 16, 16), cascade=True, tta_flips=True,
+        coarse_shape=(16, 16, 16), roi_shape=(16, 16, 16),
+        min_component_voxels=0, et_min_voxels=0,
+        compute_dtype="float32", tta_precision="float32",
+    )
+    canvas = (32, 32, 32)
+    fn = make_predict_fn(
+        fine_apply, cfg, canvas,
+        coarse_apply=lambda p, x: coarse.apply(p, x),
+        fine_lowres_apply=fine_lr, stem=2,
+    )
+    image = jnp.asarray(make_case_arrays(seed=21, shape=canvas)[0], jnp.float32)
+    labels, s1 = fn(pf, pc, image)
+    probs, s2 = fn.probs_fn(pf, pc, image)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert probs.shape == labels.shape + (4,) and probs.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(probs, -1).astype(jnp.uint8)), np.asarray(labels)
+    )
+
+    # (b) staged multi-tile sweep (no cascade, 2-tile canvas)
+    cfg_sw = InferenceConfig(
+        canvas=None, tile=(16, 16, 16), cascade=False, tta_flips=True,
+        min_component_voxels=0, et_min_voxels=0,
+        compute_dtype="float32", tta_precision="float32",
+    )
+    canvas_sw = (24, 16, 16)
+    fn_sw = make_predict_fn(
+        fine_apply, cfg_sw, canvas_sw, fine_lowres_apply=fine_lr, stem=2,
+    )
+    image_sw = jnp.asarray(
+        make_case_arrays(seed=22, shape=canvas_sw)[0], jnp.float32
+    )
+    labels_sw, _ = fn_sw(pf, None, image_sw)
+    probs_sw, _ = fn_sw.probs_fn(pf, None, image_sw)
+    assert probs_sw.shape == labels_sw.shape + (4,)
+    np.testing.assert_allclose(np.asarray(probs_sw.sum(-1)), 1.0, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(probs_sw, -1).astype(jnp.uint8)),
+        np.asarray(labels_sw),
+    )
+
+    # (c) monolithic path (allow_split=False)
+    fn_mono = make_predict_fn(
+        fine_apply, cfg, canvas,
+        coarse_apply=lambda p, x: coarse.apply(p, x), allow_split=False,
+    )
+    labels_m, _ = fn_mono(pf, pc, image)
+    probs_m, _ = fn_mono.probs_fn(pf, pc, image)
+    assert probs_m.shape == labels_m.shape + (4,)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(probs_m, -1).astype(jnp.uint8)),
+        np.asarray(labels_m),
+    )
+
+
+def test_predict_probs_arrays_and_npz(tmp_path):
+    """Whole-volume probability output through the Predictor: shape, exact
+    background one-hot outside the ROI, argmax agreement with the label
+    path, and the --save-probs npz artifact."""
+    from brats2019_tpu.data import synthetic
+
+    exp = _make_exp(True)
+    params, coarse = _init_params(0), _init_params(1)
+    pred = Predictor(exp, params, coarse)
+    image, _ = make_case_arrays(seed=23, shape=(40, 36, 28))
+    labels, _ = pred.predict_arrays(image)
+    probs, stats = pred.predict_probs_arrays(image)
+    assert probs.shape == (40, 36, 28, 4) and probs.dtype == np.float32
+    # default tta_precision stores per-flip softmaxes in bf16 -> the mean's
+    # sum carries ~1e-3 rounding
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=5e-3)
+    # outside the predicted ROI: exact background one-hot
+    np.testing.assert_array_equal(probs[0, 0, 0], [1.0, 0.0, 0.0, 0.0])
+    agree = (np.argmax(probs, -1).astype(np.uint8) == labels).mean()
+    assert agree > 0.999  # postproc is a no-op in this config
+
+    d = synthetic.write_case(str(tmp_path / "BraTS19_P_1"), shape=(32, 32, 24))
+    out = pred.predict_probs_dir(d)
+    z = np.load(out)
+    assert z["probs"].shape == (32, 32, 24, 4)
+    assert z["probs"].dtype == np.float16
+    np.testing.assert_array_equal(z["classes"], [0, 1, 2, 4])
