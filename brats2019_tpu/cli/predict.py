@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "class order [0,1,2,4]) for offline ensembling / "
                         "uncertainty workflows (one extra device pass per "
                         "case; not available with --multichip)")
+    p.add_argument("--ensemble", default=None, nargs="+", metavar="WORKDIR",
+                   help="checkpoint-ensemble prediction: average class "
+                        "probabilities over the primary --workdir model AND "
+                        "each listed workdir's model, then argmax (the "
+                        "reference paper's teacher-ensemble semantics). All "
+                        "members share one compiled program — params are "
+                        "traced arguments, so extra members add zero "
+                        "recompiles. Not available with --multichip")
     p.add_argument("--multichip", default=None, choices=("spatial", "sweep"),
                    help="run inference over ALL local devices as one mesh: "
                         "'spatial' = whole-volume forward, X axis sharded "
@@ -134,6 +142,78 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     return 0
 
 
+def _load_ensemble_members(args, exp, primary):
+    """Primary model + one member per --ensemble workdir. Each member
+    workdir is loaded with the SAME preset/stage rules as the primary
+    (load_stage_params: exported params or orbax checkpoint, newest-wins);
+    a member missing a coarse checkpoint reuses the primary's coarse stage
+    (the cascade only localizes the ROI — sharing it keeps members
+    comparable) with a warning."""
+    members = [primary]
+    for w in args.ensemble:
+        exp_w = dataclasses.replace(exp, workdir=w)
+        pf = load_stage_params(exp_w, "fine")
+        pc = None
+        if exp.infer.cascade and exp.coarse_unet is not None:
+            try:
+                pc = load_stage_params(exp_w, "coarse")
+            except FileNotFoundError:
+                print(f"warning: no coarse checkpoint under {w}; this "
+                      f"member reuses the primary coarse stage",
+                      file=sys.stderr)
+                pc = primary[1]
+        members.append((pf, pc))
+    return members
+
+
+def _predict_ensemble(args, exp, primary, cases) -> int:
+    """--ensemble: mean-probability multi-checkpoint prediction."""
+    from ..infer.ensemble import EnsemblePredictor
+
+    try:
+        members = _load_ensemble_members(args, exp, primary)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if exp.infer.postproc == "device":
+        print("note: --ensemble postprocesses on the host (the in-graph "
+              "device CC lives in the label program, which the ensemble's "
+              "probability path bypasses)", file=sys.stderr)
+    for flag, name in ((args.batch_volumes, "--batch-volumes"),
+                       (args.serving_depth, "--serving-depth")):
+        if flag and flag > 1:
+            print(f"note: {name} has no effect with --ensemble",
+                  file=sys.stderr)
+    pred = EnsemblePredictor(exp, members)
+    print(f"[predict] ensemble of {pred.num_members} members", flush=True)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    t0 = time.time()
+    try:
+        for d in cases:
+            out = args.output if (args.output and len(cases) == 1) else None
+            out, stats = pred.predict_dir(d, out)
+            print(f"[predict] {d} -> {out} "
+                  f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
+                  f"post {stats.post_s:.2f}s)", flush=True)
+            if args.save_probs:
+                p_out = pred.predict_probs_dir(d)
+                print(f"[predict] {d} probs -> {p_out}", flush=True)
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[predict] profiler trace written to {args.profile}",
+                  flush=True)
+    dt = time.time() - t0
+    print(f"[predict] {len(cases)} case(s) in {dt:.2f}s "
+          f"({len(cases) / dt:.3f} volumes/sec, ensemble)", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.jax_setup import setup_jax
@@ -184,7 +264,16 @@ def main(argv=None) -> int:
             print("error: --save-probs is not available with --multichip",
                   file=sys.stderr)
             return 2
+        if args.ensemble:
+            print("error: --ensemble is not available with --multichip",
+                  file=sys.stderr)
+            return 2
         return _predict_multichip(args, exp, params_fine, cases)
+
+    if args.ensemble:
+        return _predict_ensemble(
+            args, exp, (params_fine, params_coarse), cases
+        )
 
     from ..infer.predictor import Predictor
 

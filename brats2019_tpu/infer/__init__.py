@@ -8,4 +8,8 @@ def __getattr__(name):
         from .predictor import Predictor
 
         return Predictor
+    if name == "EnsemblePredictor":
+        from .ensemble import EnsemblePredictor
+
+        return EnsemblePredictor
     raise AttributeError(name)

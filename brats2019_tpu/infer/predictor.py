@@ -400,26 +400,31 @@ class Predictor:
             image, self._default_dev, meta=meta
         )
         t1 = time.time()
-        probs_r, start = self._fn.probs_fn(
+        canvas_p = self._probs_canvas_np(
             self.params_fine, self.params_coarse, canvas_img
         )
-        probs_np = np.asarray(jax.device_get(probs_r), np.float32)
-        start_np = np.asarray(jax.device_get(start))
         t2 = time.time()
-        if probs_np.shape[:3] == self.canvas:
-            canvas_p = probs_np
-        else:
-            canvas_p = np.zeros(
-                self.canvas + (probs_np.shape[-1],), np.float32
-            )
-            sx, sy, sz = (int(v) for v in start_np)
-            rx, ry, rz = probs_np.shape[:3]
-            canvas_p[sx:sx + rx, sy:sy + ry, sz:sz + rz] = probs_np
         probs = self._uncrop(canvas_p, cropped_shape, bbox)
         empty = probs.sum(-1) == 0  # never written -> exact background
         probs[empty, 0] = 1.0
         t3 = time.time()
         return probs, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
+
+    def _probs_canvas_np(self, params_fine, params_coarse, canvas_img):
+        """Run the probs program for ONE set of params and paste its ROI
+        into a full canvas (host f32). Params are traced arguments of the
+        jitted program, so alternate members (ensembling) reuse the same
+        compiled executable."""
+        probs_r, start = self._fn.probs_fn(params_fine, params_coarse, canvas_img)
+        probs_np = np.asarray(jax.device_get(probs_r), np.float32)
+        start_np = np.asarray(jax.device_get(start))
+        if probs_np.shape[:3] == self.canvas:
+            return probs_np
+        canvas_p = np.zeros(self.canvas + (probs_np.shape[-1],), np.float32)
+        sx, sy, sz = (int(v) for v in start_np)
+        rx, ry, rz = probs_np.shape[:3]
+        canvas_p[sx:sx + rx, sy:sy + ry, sz:sz + rz] = probs_np
+        return canvas_p
 
     def predict_probs_dir(
         self, case_dir: str, output_path: Optional[str] = None

@@ -43,6 +43,15 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     probs = np.load(os.path.join(case, "BraTS19_SYN_000_1_probs.npz"))
     assert probs["probs"].shape == (32, 32, 32, 4)
 
+    # --ensemble: 2-member ensemble of the same workdir must reproduce the
+    # single-model mask exactly (mean of identical probs)
+    ens_out = str(tmp_path / "ens_pred.nii.gz")
+    rc = cli_predict.main([case, "--preset", "unit", "--workdir", workdir,
+                           "--ensemble", workdir, "--output", ens_out])
+    assert rc == 0
+    seg_e, _ = read_nifti(ens_out, apply_scaling=False)
+    np.testing.assert_array_equal(seg_e, seg)
+
     out_json = str(tmp_path / "metrics.json")
     rc = cli_evaluate.main([
         data, "--preset", "unit", "--workdir", workdir,

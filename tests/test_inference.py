@@ -544,3 +544,49 @@ def test_predict_probs_arrays_and_npz(tmp_path):
     assert z["probs"].shape == (32, 32, 24, 4)
     assert z["probs"].dtype == np.float16
     np.testing.assert_array_equal(z["classes"], [0, 1, 2, 4])
+
+
+def test_ensemble_predictor(tmp_path):
+    """Checkpoint ensembling (infer/ensemble.py): a 1-member ensemble
+    reproduces the plain probability path EXACTLY; a 2-member ensemble's
+    probabilities equal the member-wise mean (shared coarse stage -> same
+    ROI, so the canvas mean is the probs mean); labels are the argmax of
+    the mean, not a vote."""
+    from brats2019_tpu.data import synthetic
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+
+    exp = _make_exp(True)
+    pA, pB, coarse = _init_params(0), _init_params(7), _init_params(1)
+    image, _ = make_case_arrays(seed=31, shape=(40, 36, 28))
+
+    probs_a, _ = Predictor(exp, pA, coarse).predict_probs_arrays(image)
+    e1 = EnsemblePredictor(exp, [(pA, coarse)])
+    probs_e1, _ = e1.predict_probs_arrays(image)
+    np.testing.assert_array_equal(probs_e1, probs_a)
+
+    probs_b, _ = Predictor(exp, pB, coarse).predict_probs_arrays(image)
+    e2 = EnsemblePredictor(exp, [(pA, coarse), (pB, coarse)])
+    assert e2.num_members == 2
+    probs_e2, stats = e2.predict_probs_arrays(image)
+    np.testing.assert_allclose(
+        probs_e2, (probs_a + probs_b) / 2.0, atol=1e-6
+    )
+    assert stats.total_s > 0
+
+    labels_e, _ = e2.predict_arrays(image)
+    assert labels_e.shape == (40, 36, 28) and labels_e.dtype == np.uint8
+    # postproc is a no-op in this config -> labels == argmax(mean probs)
+    np.testing.assert_array_equal(
+        labels_e, np.argmax(probs_e2, -1).astype(np.uint8)
+    )
+
+    d = synthetic.write_case(str(tmp_path / "BraTS19_E_1"), shape=(32, 32, 24))
+    out, _ = e2.predict_dir(d)
+    assert out.endswith("_pred.nii.gz")
+    z = np.load(e2.predict_probs_dir(d))
+    assert z["probs"].shape == (32, 32, 24, 4)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        EnsemblePredictor(exp, [])
