@@ -70,6 +70,33 @@ def _latest_checkpoint_mtime(workdir: str) -> float:
     return newest
 
 
+def load_ensemble_members(exp: ExperimentConfig, workdirs, primary):
+    """Primary model + one member per extra workdir, for
+    ``EnsemblePredictor``. Each member workdir is loaded with the SAME
+    preset/stage rules as the primary (load_stage_params: exported params
+    or orbax checkpoint, newest-wins); a member missing a coarse
+    checkpoint reuses the primary's coarse stage (the cascade only
+    localizes the ROI — sharing it keeps members comparable) with a
+    warning."""
+    import sys
+
+    members = [primary]
+    for w in workdirs:
+        exp_w = dataclasses.replace(exp, workdir=w)
+        pf = load_stage_params(exp_w, "fine")
+        pc = None
+        if exp.infer.cascade and exp.coarse_unet is not None:
+            try:
+                pc = load_stage_params(exp_w, "coarse")
+            except FileNotFoundError:
+                print(f"warning: no coarse checkpoint under {w}; this "
+                      f"member reuses the primary coarse stage",
+                      file=sys.stderr)
+                pc = primary[1]
+        members.append((pf, pc))
+    return members
+
+
 def load_stage_params(
     exp: ExperimentConfig, stage: str, prefer_best: bool = True,
     from_checkpoint_only: bool = False,

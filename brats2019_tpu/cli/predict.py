@@ -20,7 +20,11 @@ import time
 
 from ..configs.presets import PRESETS
 from ..data.case import discover_cases
-from .common import load_stage_params, resolve_experiment
+from .common import (
+    load_ensemble_members,
+    load_stage_params,
+    resolve_experiment,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -142,36 +146,12 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     return 0
 
 
-def _load_ensemble_members(args, exp, primary):
-    """Primary model + one member per --ensemble workdir. Each member
-    workdir is loaded with the SAME preset/stage rules as the primary
-    (load_stage_params: exported params or orbax checkpoint, newest-wins);
-    a member missing a coarse checkpoint reuses the primary's coarse stage
-    (the cascade only localizes the ROI — sharing it keeps members
-    comparable) with a warning."""
-    members = [primary]
-    for w in args.ensemble:
-        exp_w = dataclasses.replace(exp, workdir=w)
-        pf = load_stage_params(exp_w, "fine")
-        pc = None
-        if exp.infer.cascade and exp.coarse_unet is not None:
-            try:
-                pc = load_stage_params(exp_w, "coarse")
-            except FileNotFoundError:
-                print(f"warning: no coarse checkpoint under {w}; this "
-                      f"member reuses the primary coarse stage",
-                      file=sys.stderr)
-                pc = primary[1]
-        members.append((pf, pc))
-    return members
-
-
 def _predict_ensemble(args, exp, primary, cases) -> int:
     """--ensemble: mean-probability multi-checkpoint prediction."""
     from ..infer.ensemble import EnsemblePredictor
 
     try:
-        members = _load_ensemble_members(args, exp, primary)
+        members = load_ensemble_members(exp, args.ensemble, primary)
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

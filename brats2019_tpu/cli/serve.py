@@ -31,7 +31,11 @@ import time
 
 from ..configs.presets import PRESETS
 from ..data.case import discover_cases, modality_paths
-from .common import load_stage_params, resolve_experiment
+from .common import (
+    load_ensemble_members,
+    load_stage_params,
+    resolve_experiment,
+)
 
 # Canonical absl/XLA status codes that mark a RUNTIME hiccup of the device
 # or its transport, not a defect of the case being served. A quarantine
@@ -118,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "b16 device program (~13%% device throughput for "
                         "co-located serving; couples latency). Only "
                         "pairing (2) is implemented")
+    p.add_argument("--ensemble", default=None, nargs="+", metavar="WORKDIR",
+                   help="checkpoint-ensemble serving: average class "
+                        "probabilities over the primary --workdir model "
+                        "AND each listed workdir's model (one compiled "
+                        "program, M member passes per case; host "
+                        "postprocessing)")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -140,7 +150,7 @@ def _case_ready(case_dir: str, sizes: dict) -> bool:
 
 class Server:
     def __init__(self, exp, output_dir=None, log_dir=None, retries=1,
-                 retry_backoff=1.0):
+                 retry_backoff=1.0, ensemble_workdirs=None):
         params_fine = load_stage_params(exp, "fine")
         params_coarse = None
         if exp.infer.cascade and exp.coarse_unet is not None:
@@ -152,10 +162,25 @@ class Server:
                 exp = dataclasses.replace(
                     exp, infer=dataclasses.replace(exp.infer, cascade=False)
                 )
-        from ..infer.predictor import Predictor
-
         self.exp = exp
-        self.predictor = Predictor(exp, params_fine, params_coarse)
+        if ensemble_workdirs:
+            from ..infer.ensemble import EnsemblePredictor
+
+            members = load_ensemble_members(
+                exp, ensemble_workdirs, (params_fine, params_coarse)
+            )
+            if exp.infer.postproc == "device":
+                print("serve: --ensemble postprocesses on the host (the "
+                      "in-graph device CC lives in the label program, "
+                      "which the ensemble's probability path bypasses)",
+                      file=sys.stderr)
+            self.predictor = EnsemblePredictor(exp, members)
+            print(f"serve: ensemble of {self.predictor.num_members} "
+                  f"members", flush=True)
+        else:
+            from ..infer.predictor import Predictor
+
+            self.predictor = Predictor(exp, params_fine, params_coarse)
         self.output_dir = output_dir
         self.retries = retries
         self.retry_backoff = retry_backoff
@@ -388,6 +413,7 @@ def main(argv=None) -> int:
         server = Server(
             exp, output_dir=args.output_dir, log_dir=args.watch_root,
             retries=args.retries, retry_backoff=args.retry_backoff,
+            ensemble_workdirs=args.ensemble,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)

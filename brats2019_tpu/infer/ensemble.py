@@ -134,6 +134,19 @@ class EnsemblePredictor:
         write_nifti(output_path, disk, like=case.header)
         return output_path, stats
 
+    def predict_dirs(self, case_dirs, output_paths=None) -> list:
+        """Sequential multi-case path (serve's batch entry point). The
+        device stays busy across a case's M member passes; cross-case
+        prep/post overlap is deliberately NOT pipelined here — the
+        single-model Predictor's pipelined path exists for latency-bound
+        serving, the ensemble trades that for accuracy."""
+        if output_paths is None:
+            output_paths = [None] * len(case_dirs)
+        return [
+            self.predict_dir(d, out)[0]
+            for d, out in zip(case_dirs, output_paths)
+        ]
+
     def predict_probs_dir(
         self, case_dir: str, output_path: Optional[str] = None
     ) -> str:

@@ -79,6 +79,39 @@ def test_serve_once_end_to_end(tmp_path, monkeypatch):
     )
 
 
+def test_serve_once_ensemble(tmp_path, monkeypatch):
+    """serve --ensemble drains a watch root through the EnsemblePredictor:
+    a 2-member ensemble of the same workdir must serve every case with a
+    valid mask (identical members -> identical probs mean)."""
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "1", "--synthetic-shape", "32", "32", "32",
+        "--preset", "unit", "--steps", "2", "--workdir", workdir,
+    ])
+    assert rc == 0
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    shutil.copytree(
+        os.path.join(data, "BraTS19_SYN_000_1"), watch / "BraTS19_SYN_000_1"
+    )
+    out_dir = str(tmp_path / "served")
+    rc = cli_serve.main([
+        str(watch), "--preset", "unit", "--workdir", workdir,
+        "--ensemble", workdir, "--output-dir", out_dir, "--once",
+    ])
+    assert rc == 0
+    log = [
+        json.loads(l)
+        for l in open(os.path.join(out_dir, "serve_log.jsonl"))
+    ]
+    assert len(log) == 1 and log[0].get("error") is None
+    seg, _ = read_nifti(log[0]["output"], apply_scaling=False)
+    assert seg.shape == (32, 32, 32)
+    assert set(np.unique(seg)) <= {0, 1, 2, 4}
+
+
 def test_serve_stop_signal_drains():
     """request_stop flips the loop condition (SIGTERM handler target)."""
     s = object.__new__(cli_serve.Server)  # no model needed for this check
