@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "class order [0,1,2,4]) for offline ensembling / "
                         "uncertainty workflows (one extra device pass per "
                         "case; not available with --multichip)")
+    p.add_argument("--save-uncertainty", action="store_true",
+                   help="also write QU-BraTS voxelwise uncertainty maps "
+                        "<case>_unc_{whole,core,enhance}.nii.gz (uint8 "
+                        "[0,100], 0 = certain: binary entropy of each "
+                        "region's TTA/ensemble-mean probability; one "
+                        "extra device pass per case; not available with "
+                        "--multichip)")
     p.add_argument("--ensemble", default=None, nargs="+", metavar="WORKDIR",
                    help="checkpoint-ensemble prediction: average class "
                         "probabilities over the primary --workdir model AND "
@@ -181,6 +188,12 @@ def _predict_ensemble(args, exp, primary, cases) -> int:
             if args.save_probs:
                 p_out = pred.predict_probs_dir(d)
                 print(f"[predict] {d} probs -> {p_out}", flush=True)
+            if args.save_uncertainty:
+                from ..infer.uncertainty import predict_uncertainty_dir
+
+                for u_out in predict_uncertainty_dir(pred, d):
+                    print(f"[predict] {d} uncertainty -> {u_out}",
+                          flush=True)
     finally:
         if args.profile:
             import jax
@@ -240,9 +253,9 @@ def main(argv=None) -> int:
             )
 
     if args.multichip:
-        if args.save_probs:
-            print("error: --save-probs is not available with --multichip",
-                  file=sys.stderr)
+        if args.save_probs or args.save_uncertainty:
+            print("error: --save-probs/--save-uncertainty are not "
+                  "available with --multichip", file=sys.stderr)
             return 2
         if args.ensemble:
             print("error: --ensemble is not available with --multichip",
@@ -281,6 +294,13 @@ def main(argv=None) -> int:
             for d in cases:
                 p_out = predictor.predict_probs_dir(d)
                 print(f"[predict] {d} probs -> {p_out}", flush=True)
+        if args.save_uncertainty:
+            from ..infer.uncertainty import predict_uncertainty_dir
+
+            for d in cases:
+                for u_out in predict_uncertainty_dir(predictor, d):
+                    print(f"[predict] {d} uncertainty -> {u_out}",
+                          flush=True)
     finally:
         # an exception mid-predict must still finalize the trace (ADVICE
         # round 2) — an open trace dir is unreadable by tensorboard

@@ -590,3 +590,50 @@ def test_ensemble_predictor(tmp_path):
 
     with pytest.raises(ValueError):
         EnsemblePredictor(exp, [])
+
+
+def test_region_uncertainty_maps():
+    """QU-BraTS maps: 0 where a region's probability is 0 or 1, 100 at
+    p=0.5; region channel sums follow train/metrics.py definitions."""
+    from brats2019_tpu.infer.uncertainty import region_uncertainty_maps
+
+    probs = np.zeros((2, 2, 1, 4), np.float32)
+    probs[0, 0, 0] = [1, 0, 0, 0]           # pure background: all certain
+    probs[0, 1, 0] = [0, 0, 0, 1]           # pure ET: certain everywhere
+    probs[1, 0, 0] = [0.5, 0.5, 0, 0]       # WT/TC split: max uncertainty
+    probs[1, 1, 0] = [0.5, 0, 0, 0.5]       # ET at p=0.5
+    m = region_uncertainty_maps(probs)
+    assert set(m) == {"whole", "core", "enhance"}
+    for u in m.values():
+        assert u.dtype == np.uint8 and u.shape == (2, 2, 1)
+    for name in m:
+        assert m[name][0, 0, 0] == 0        # p=0 -> certain
+        assert m[name][0, 1, 0] == 0        # p=1 -> certain
+        assert m[name][1, 1, 0] == 100      # p=0.5 in every region
+    assert m["whole"][1, 0, 0] == 100       # p(WT)=0.5
+    assert m["core"][1, 0, 0] == 100        # p(TC)=0.5
+    assert m["enhance"][1, 0, 0] == 0       # p(ET)=0 -> certain
+    # asymmetric case: WT prob 0.9 -> entropy ~0.469 -> 47
+    probs2 = np.full((1, 1, 1, 4), 0.0, np.float32)
+    probs2[..., 0], probs2[..., 2] = 0.1, 0.9
+    m2 = region_uncertainty_maps(probs2)
+    assert m2["whole"][0, 0, 0] == 47
+    assert m2["core"][0, 0, 0] == 0 and m2["enhance"][0, 0, 0] == 0
+
+
+def test_predict_uncertainty_dir(tmp_path):
+    """End-to-end uncertainty maps through the Predictor: three NIfTIs in
+    [0,100], background-certain outside the brain bbox."""
+    from brats2019_tpu.data import synthetic
+    from brats2019_tpu.infer.uncertainty import predict_uncertainty_dir
+    from brats2019_tpu.utils.nifti import read_nifti
+
+    d = synthetic.write_case(str(tmp_path / "BraTS19_U_1"), shape=(32, 32, 24))
+    pred = Predictor(_make_exp(False), _init_params())
+    outs = predict_uncertainty_dir(pred, d)
+    assert len(outs) == 3
+    for out in outs:
+        u, _ = read_nifti(out, apply_scaling=False)
+        assert u.shape == (32, 32, 24)
+        assert u.min() >= 0 and u.max() <= 100
+        assert u[0, 0, 0] == 0  # exact background one-hot -> certain
