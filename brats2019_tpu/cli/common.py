@@ -70,6 +70,71 @@ def _latest_checkpoint_mtime(workdir: str) -> float:
     return newest
 
 
+def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
+    """Uniform weight average of the last ``last_k`` retained step
+    checkpoints of a stage (SWA-style checkpoint averaging — the classic
+    cheap alternative to probability ensembling: ONE averaged model, one
+    forward pass at serving time). Leaves are averaged in f32 and cast
+    back to their stored dtype. Exact for this net's inference semantics
+    only in the sense every SWA use is: the averaged weights define a new
+    model, evaluated like any other.
+
+    Raises FileNotFoundError when no step checkpoints exist; averages
+    fewer than ``last_k`` (with a note) when the retention window
+    (CheckpointManager ``keep``) holds fewer."""
+    import sys
+
+    import numpy as np
+
+    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
+    assert unet_cfg is not None
+    workdir = os.path.join(exp.workdir, stage)
+    like = params_like_for(unet_cfg)
+    like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
+    from ..train.step import make_optimizer
+
+    tx = make_optimizer(exp.train)
+    opt_like = jax.eval_shape(lambda p: tx.init(p), like)
+    opt_like = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), opt_like
+    )
+    ckpt = CheckpointManager(workdir)
+    try:
+        steps = ckpt.all_steps()
+        if not steps:
+            raise FileNotFoundError(
+                f"No step checkpoints to average for stage '{stage}' "
+                f"under {workdir}"
+            )
+        steps = steps[-last_k:]
+        if len(steps) < last_k:
+            print(
+                f"[average] {stage}: only {len(steps)} retained "
+                f"checkpoint(s) (requested {last_k}) — averaging those",
+                file=sys.stderr, flush=True,
+            )
+        acc = None
+        for s in steps:
+            p = ckpt.restore_params_at(s, like, opt_like)
+            p32 = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), p
+            )
+            acc = p32 if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, p32
+            )
+        inv = 1.0 / len(steps)
+        mean = jax.tree_util.tree_map(
+            lambda a, l: jnp.asarray(a * inv, l.dtype), acc, like
+        )
+        print(
+            f"[average] {stage}: averaged steps {steps}",
+            file=sys.stderr, flush=True,
+        )
+        return mean
+    finally:
+        ckpt.close()
+
+
 def load_ensemble_members(exp: ExperimentConfig, workdirs, primary):
     """Primary model + one member per extra workdir, for
     ``EnsemblePredictor``. Each member workdir is loaded with the SAME

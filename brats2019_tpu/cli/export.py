@@ -19,7 +19,11 @@ import sys
 
 from ..configs.presets import PRESETS
 from ..train.checkpoint import export_params
-from .common import load_stage_params, resolve_experiment
+from .common import (
+    average_stage_params,
+    load_stage_params,
+    resolve_experiment,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -28,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", default=None)
     p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
     p.add_argument("--format", default="npz", choices=("npz", "safetensors"))
+    p.add_argument("--average", type=int, default=None, metavar="K",
+                   help="export the uniform weight average of the last K "
+                        "retained step checkpoints (SWA-style checkpoint "
+                        "averaging: one averaged model, one serving-time "
+                        "forward pass) instead of the best/latest params")
     return p
 
 
@@ -50,12 +59,21 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.average is not None and args.average < 1:
+        print("error: --average must be >= 1", file=sys.stderr)
+        return 2
     rc = 0
     for stage in stages:
         try:
-            # never read a previous export here: re-export must reflect
-            # the CURRENT checkpoint, not shadow it with stale weights
-            params = load_stage_params(exp, stage, from_checkpoint_only=True)
+            if args.average:
+                params = average_stage_params(exp, stage, args.average)
+            else:
+                # never read a previous export here: re-export must
+                # reflect the CURRENT checkpoint, not shadow it with
+                # stale weights
+                params = load_stage_params(
+                    exp, stage, from_checkpoint_only=True
+                )
         except FileNotFoundError as e:
             print(f"warning: {e}", file=sys.stderr)
             rc = 1

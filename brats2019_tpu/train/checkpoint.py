@@ -126,6 +126,25 @@ class CheckpointManager:
             restored["cursor"],
         )
 
+    def all_steps(self):
+        """Retained checkpoint steps, ascending (bounded by ``keep``)."""
+        return sorted(int(s) for s in self.mgr.all_steps())
+
+    def restore_params_at(
+        self, step: int, params_like: Any, opt_state_like: Any
+    ) -> Any:
+        """Params of one retained step checkpoint (checkpoint averaging's
+        member loader; the full state template is required by orbax even
+        though only params are returned)."""
+        target = {
+            "params": params_like,
+            "opt_state": opt_state_like,
+            "step": 0,
+            "cursor": {"epoch": 0, "index": 0, "seed": 0},
+        }
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return restored["params"]
+
     def restore_best_params(self, params_like: Any) -> Optional[Any]:
         best_path = os.path.join(self.best_dir, "state")
         if not os.path.exists(best_path):

@@ -59,6 +59,86 @@ def test_best_selection(tmp_path):
     mgr.close()
 
 
+def test_all_steps_and_restore_params_at(tmp_path):
+    """Step enumeration + params-only restore (checkpoint averaging's
+    member loader)."""
+    opt = {"o": jnp.zeros((2,))}
+    mgr = CheckpointManager(str(tmp_path))
+    trees = {s: _tree(s) for s in (1, 2, 3)}
+    for s in (1, 2, 3):
+        mgr.save(s, trees[s], opt, {"epoch": 0, "index": s, "seed": 0})
+    mgr.wait()
+    assert mgr.all_steps() == [1, 2, 3]
+    like_p = jax.tree_util.tree_map(jnp.zeros_like, trees[1])
+    like_o = jax.tree_util.tree_map(jnp.zeros_like, opt)
+    p2 = mgr.restore_params_at(2, like_p, like_o)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(trees[2])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_average_stage_params(tmp_path):
+    """average_stage_params = exact f32 mean of the last-K retained step
+    checkpoints' params, in the stored dtype."""
+    import dataclasses
+    import os
+
+    from brats2019_tpu.cli.common import (
+        average_stage_params,
+        params_like_for,
+    )
+    from brats2019_tpu.configs import get_preset
+    from brats2019_tpu.train.step import make_optimizer
+
+    exp = dataclasses.replace(get_preset("unit"), workdir=str(tmp_path))
+    like = params_like_for(exp.unet)
+    like = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), like
+    )
+    tx = make_optimizer(exp.train)
+    opt = tx.init(like)
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "fine"))
+    member = {}
+    for s in (1, 2, 3):
+        member[s] = jax.tree_util.tree_map(
+            lambda x, s=s: x + float(s), like
+        )
+        mgr.save(s, member[s], opt, {"epoch": 0, "index": s, "seed": 0})
+    mgr.wait()
+    mgr.close()
+
+    avg = average_stage_params(exp, "fine", 2)  # steps 2 and 3
+    want = jax.tree_util.tree_map(
+        lambda a, b: (np.asarray(a, np.float32) + np.asarray(b, np.float32))
+        / 2.0,
+        member[2], member[3],
+    )
+    for a, b, l in zip(
+        jax.tree_util.tree_leaves(avg),
+        jax.tree_util.tree_leaves(want),
+        jax.tree_util.tree_leaves(like),
+    ):
+        assert np.asarray(a).dtype == np.asarray(l).dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # asking for more members than retained averages what exists
+    avg_all = average_stage_params(exp, "fine", 99)
+    want_all = jax.tree_util.tree_map(
+        lambda a, b, c: (
+            np.asarray(a, np.float32) + np.asarray(b, np.float32)
+            + np.asarray(c, np.float32)
+        ) / 3.0,
+        member[1], member[2], member[3],
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(avg_all),
+        jax.tree_util.tree_leaves(want_all),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_export_import_roundtrip(tmp_path):
     params = _tree(4)
     path = str(tmp_path / "params.npz")
