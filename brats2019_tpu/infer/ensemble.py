@@ -3,13 +3,23 @@ complement: the reference paper's teacher ensemble — arXiv:2002.03688 —
 averages several trained models' probabilities; this makes that ensemble a
 first-class serving mode instead of an offline npz workflow).
 
-TPU-first design: model parameters are TRACED arguments of the compiled
-probability program (infer/predictor.py ``probs_fn``), so an M-member
-ensemble reuses ONE jitted executable — member passes differ only in the
-param buffers streamed from HBM, and adding a member costs zero recompiles
-and zero extra program memory. Probabilities are averaged on pasted host
-canvases because each member's cascade may localize a different ROI start;
-the mean is taken in f32 in member order (deterministic).
+TPU-first design, two halves:
+
+* model parameters are TRACED arguments of the compiled probability
+  program (infer/predictor.py ``probs_fn``), so an M-member ensemble
+  reuses ONE jitted executable — member passes differ only in the param
+  buffers streamed from HBM, and adding a member costs zero recompiles
+  and zero extra program memory.
+* the probability mean accumulates ON DEVICE: each member's ROI
+  probabilities are added into a device-resident f32 canvas
+  (dynamic-slice add at that member's cascade-localized start — members
+  may localize different ROIs), and only the final argmax (uint8 canvas)
+  or mean (f32 canvas) crosses the device boundary ONCE. A host-side
+  mean would instead fetch an ~M x 60 MB f32 canvas stream — the
+  dominant cost on any link, fatal on a weather-prone one. The
+  accumulator buffer is donated so XLA updates it in place.
+
+Member order is fixed, so the f32 sum is deterministic.
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ import time
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..configs.presets import ExperimentConfig
@@ -65,19 +76,45 @@ class EnsemblePredictor:
         ]
         self.exp = exp
 
+        # on-device accumulation helpers (module docstring): the ROI shape
+        # is static per experiment, so both jits compile once
+        @jax.jit
+        def _accum(acc, probs_r, start):
+            idx = (start[0], start[1], start[2], jnp.int32(0))
+            cur = jax.lax.dynamic_slice(acc, idx, probs_r.shape)
+            return jax.lax.dynamic_update_slice(acc, cur + probs_r, idx)
+
+        # donate the accumulator: XLA reuses the canvas buffer in place
+        # instead of allocating a fresh ~60 MB canvas per member
+        self._accum = jax.jit(_accum, donate_argnums=0)
+        self._argmax = jax.jit(
+            lambda acc: jnp.argmax(acc, -1).astype(jnp.uint8)
+        )
+
     @property
     def num_members(self) -> int:
         return len(self._members)
 
-    def _mean_probs_canvas(self, canvas_img) -> np.ndarray:
-        """Sequential member passes through the shared compiled program;
-        f32 running sum on the host canvas (one canvas live at a time)."""
-        acc = None
+    def _accum_probs_device(self, canvas_img):
+        """Sum of member ROI probabilities on a device-resident f32 canvas
+        (NOT yet divided by M — argmax is scale-invariant)."""
+        shape = self._p.canvas + (self.exp.unet.num_classes,)
+        acc = jax.device_put(
+            jnp.zeros(shape, jnp.float32), self._p._default_dev
+        )
         for pf, pc in self._members:
-            c = self._p._probs_canvas_np(pf, pc, canvas_img)
-            acc = c if acc is None else acc + c
-        acc *= 1.0 / len(self._members)
+            probs_r, start = self._p._fn.probs_fn(pf, pc, canvas_img)
+            acc = self._accum(acc, probs_r, start)
         return acc
+
+    def _mean_probs_canvas(self, canvas_img) -> np.ndarray:
+        """Host f32 mean canvas: one device->host fetch total.
+        ``np.array`` (not asarray): device_get can hand back a READ-ONLY
+        zero-copy view, and the mean + downstream background fill mutate."""
+        acc = self._accum_probs_device(canvas_img)
+        out = np.array(jax.device_get(acc), np.float32)
+        out *= 1.0 / len(self._members)
+        return out
 
     def predict_probs_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
@@ -107,11 +144,12 @@ class EnsemblePredictor:
             image, self._p._default_dev, meta=meta
         )
         t1 = time.time()
-        canvas_p = self._mean_probs_canvas(canvas_img)
+        acc = self._accum_probs_device(canvas_img)
+        # argmax on device: only a uint8 canvas crosses the link, and the
+        # un-normalized sum argmaxes identically to the mean. Un-written
+        # canvas voxels are all-zero -> argmax=0 = background.
+        labels_c = np.asarray(jax.device_get(self._argmax(acc)))
         t2 = time.time()
-        # un-written canvas voxels have all-zero probs -> argmax=0 =
-        # background, so no explicit background fill is needed for labels
-        labels_c = np.argmax(canvas_p, axis=-1).astype(np.uint8)
         labels = self._p._uncrop(labels_c, cropped_shape, bbox)
         labels = postprocess_labels(
             labels,
