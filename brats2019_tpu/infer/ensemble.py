@@ -37,7 +37,7 @@ from ..data.case import load_case
 from ..data.constants import internal_to_disk
 from ..utils.nifti import write_nifti
 from .postprocess import postprocess_labels
-from .predictor import PredictionStats, Predictor
+from .predictor import PredictionStats, Predictor, _start_host_copy
 
 
 class EnsemblePredictor:
@@ -95,14 +95,30 @@ class EnsemblePredictor:
     def num_members(self) -> int:
         return len(self._members)
 
-    def _accum_probs_device(self, canvas_img):
+    def _members_on(self, dev):
+        """Per-device committed copies of every member's params (multi-
+        device case striping; mirrors Predictor._params_on)."""
+        if dev == self._p._default_dev:
+            return self._members
+        if not hasattr(self, "_members_by_dev"):
+            self._members_by_dev = {}
+        if dev not in self._members_by_dev:
+            self._members_by_dev[dev] = [
+                (
+                    jax.device_put(pf, dev),
+                    jax.device_put(pc, dev) if pc is not None else None,
+                )
+                for pf, pc in self._members
+            ]
+        return self._members_by_dev[dev]
+
+    def _accum_probs_device(self, canvas_img, dev=None):
         """Sum of member ROI probabilities on a device-resident f32 canvas
         (NOT yet divided by M — argmax is scale-invariant)."""
+        dev = dev or self._p._default_dev
         shape = self._p.canvas + (self.exp.unet.num_classes,)
-        acc = jax.device_put(
-            jnp.zeros(shape, jnp.float32), self._p._default_dev
-        )
-        for pf, pc in self._members:
+        acc = jax.device_put(jnp.zeros(shape, jnp.float32), dev)
+        for pf, pc in self._members_on(dev):
             probs_r, start = self._p._fn.probs_fn(pf, pc, canvas_img)
             acc = self._accum(acc, probs_r, start)
         return acc
@@ -173,17 +189,51 @@ class EnsemblePredictor:
         return output_path, stats
 
     def predict_dirs(self, case_dirs, output_paths=None) -> list:
-        """Sequential multi-case path (serve's batch entry point). The
-        device stays busy across a case's M member passes; cross-case
-        prep/post overlap is deliberately NOT pipelined here — the
-        single-model Predictor's pipelined path exists for latency-bound
-        serving, the ensemble trades that for accuracy."""
+        """Multi-case serving path (serve's batch entry point). Cases are
+        striped round-robin across local devices, and device work is
+        dispatched ahead of the host within a bounded window (all member
+        passes are async — only the final uint8-canvas fetch blocks), so
+        D devices run D cases' ensembles concurrently while the host
+        decodes/writes. The window bound (``serving_depth`` volumes per
+        device) caps in-flight f32 accumulator canvases (~60 MB each at
+        flagship shapes)."""
         if output_paths is None:
             output_paths = [None] * len(case_dirs)
-        return [
-            self.predict_dir(d, out)[0]
-            for d, out in zip(case_dirs, output_paths)
-        ]
+        devices = jax.local_devices()
+        window = max(1, self.exp.infer.serving_depth) * len(devices)
+        pending, outs = [], []
+
+        def drain_one():
+            case, d, labels_dev, shape, bbox, out = pending.pop(0)
+            labels_c = np.asarray(jax.device_get(labels_dev))
+            labels = self._p._uncrop(labels_c, shape, bbox)
+            labels = postprocess_labels(
+                labels,
+                min_component_voxels=self.exp.infer.min_component_voxels,
+                et_min_voxels=self.exp.infer.et_min_voxels,
+            )
+            disk = internal_to_disk(labels).astype(np.uint8)
+            if out is None:
+                out = os.path.join(d, f"{case.name}_pred.nii.gz")
+            write_nifti(out, disk, like=case.header)
+            outs.append(out)
+
+        for i, (d, out) in enumerate(zip(case_dirs, output_paths)):
+            case = load_case(d, load_seg=False)
+            dev = devices[i % len(devices)]
+            canvas_img, shape, bbox = self._p._prep_to(
+                case.image, dev, meta=case.meta
+            )
+            labels_dev = self._argmax(self._accum_probs_device(
+                canvas_img, dev=dev
+            ))
+            _start_host_copy(labels_dev)
+            pending.append((case, d, labels_dev, shape, bbox, out))
+            while len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
+        return outs
 
     def predict_probs_dir(
         self, case_dir: str, output_path: Optional[str] = None

@@ -592,6 +592,35 @@ def test_ensemble_predictor(tmp_path):
         EnsemblePredictor(exp, [])
 
 
+def test_ensemble_predict_dirs_striped(tmp_path):
+    """Multi-case ensemble serving: cases striped over the (virtual
+    8-device) mesh with windowed dispatch must produce EXACTLY the masks
+    the one-at-a-time path writes."""
+    from brats2019_tpu.data import synthetic
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+    from brats2019_tpu.utils.nifti import read_nifti
+
+    exp = _make_exp(False)
+    e = EnsemblePredictor(exp, [(_init_params(0), None),
+                                (_init_params(7), None)])
+    dirs = [
+        synthetic.write_case(
+            str(tmp_path / f"BraTS19_S_{i}_1"), shape=(32, 32, 24)
+        )
+        for i in range(3)
+    ]
+    outs = e.predict_dirs(
+        dirs, output_paths=[str(tmp_path / f"striped_{i}.nii.gz")
+                            for i in range(3)]
+    )
+    assert len(outs) == 3
+    for i, d in enumerate(dirs):
+        ref_out, _ = e.predict_dir(d)
+        a, _ = read_nifti(outs[i], apply_scaling=False)
+        b, _ = read_nifti(ref_out, apply_scaling=False)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_region_uncertainty_maps():
     """QU-BraTS maps: 0 where a region's probability is 0 or 1, 100 at
     p=0.5; region channel sums follow train/metrics.py definitions."""
