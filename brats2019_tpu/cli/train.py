@@ -2,7 +2,8 @@
 
 Usage:
     python -m brats2019_tpu.cli.train --data <BraTS_root> [--preset cascade]
-        [--val-frac 0.2] [--steps N] [--workdir DIR] [--stage all|fine|coarse]
+        [--val-frac 0.2 | --folds K --fold I] [--steps N] [--workdir DIR]
+        [--stage all|fine|coarse]
         [--synthetic N]  # generate N synthetic cases when no data exists
 
 Keeps the reference's CLI shape (a train command over a BraTS root) while
@@ -31,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
     p.add_argument("--stage", default="all", choices=("all", "fine", "coarse"))
     p.add_argument("--val-frac", type=float, default=0.2)
+    p.add_argument("--folds", type=int, default=None,
+                   help="K-fold mode: deterministic K-way split of the "
+                        "case list; requires --fold. Overrides --val-frac. "
+                        "The standard way to train ensemble members on "
+                        "disjoint validation folds (docs/ENSEMBLING.md)")
+    p.add_argument("--fold", type=int, default=None,
+                   help="which fold [0, K) is THIS run's validation set")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=None)
@@ -73,11 +81,26 @@ def main(argv=None) -> int:
     if not cases:
         print(f"error: no BraTS cases found under {args.data}", file=sys.stderr)
         return 2
-    n_val = max(1, int(len(cases) * args.val_frac)) if len(cases) > 1 else 0
-    val_dirs = cases[:n_val]
-    train_dirs = cases[n_val:] or cases
-    print(f"[train] {len(train_dirs)} train / {len(val_dirs)} val cases; "
-          f"preset={exp.name} workdir={exp.workdir}", flush=True)
+    if args.folds is not None or args.fold is not None:
+        if args.folds is None or args.fold is None:
+            print("error: --folds and --fold must be given together",
+                  file=sys.stderr)
+            return 2
+        from ..data.case import kfold_split
+
+        try:
+            train_dirs, val_dirs = kfold_split(cases, args.folds, args.fold)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        split = f"fold {args.fold}/{args.folds}"
+    else:
+        n_val = max(1, int(len(cases) * args.val_frac)) if len(cases) > 1 else 0
+        val_dirs = cases[:n_val]
+        train_dirs = cases[n_val:] or cases
+        split = f"val-frac {args.val_frac}"
+    print(f"[train] {len(train_dirs)} train / {len(val_dirs)} val cases "
+          f"({split}); preset={exp.name} workdir={exp.workdir}", flush=True)
 
     from ..train.loop import train_stage
 

@@ -85,6 +85,22 @@ def discover_cases(root: str) -> List[str]:
     return out
 
 
+def kfold_split(cases, folds: int, fold: int):
+    """Deterministic K-fold split over an ordered case list: fold ``fold``
+    (round-robin assignment on the sorted order discover_cases returns)
+    is validation, the rest train — the standard way ensemble members are
+    trained on disjoint validation folds (docs/ENSEMBLING.md). Same
+    (cases, folds) always yields the same partition on every host.
+    Returns ``(train_dirs, val_dirs)``."""
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2, got {folds}")
+    if not 0 <= fold < folds:
+        raise ValueError(f"fold must be in [0, {folds}), got {fold}")
+    val = [c for i, c in enumerate(cases) if i % folds == fold]
+    train = [c for i, c in enumerate(cases) if i % folds != fold]
+    return (train or list(cases)), val
+
+
 def load_case(case_dir: str, *, load_seg: bool = True, backend: str = "auto") -> Case:
     """Load 4 modalities (+ optional seg) from a case directory.
 

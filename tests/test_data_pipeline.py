@@ -33,6 +33,42 @@ def test_discover_cases(tmp_path):
     assert case.discover_cases(dirs[0]) == [dirs[0]]
 
 
+def test_kfold_split():
+    """Deterministic K-fold: folds partition the list, are disjoint, and
+    every fold's split reproduces run-to-run (ensemble member training)."""
+    import pytest
+
+    cases = [f"c{i}" for i in range(10)]
+    all_val = []
+    for k in range(3):
+        train, val = case.kfold_split(cases, 3, k)
+        assert sorted(train + val) == sorted(cases)
+        assert not (set(train) & set(val))
+        assert case.kfold_split(cases, 3, k) == (train, val)
+        all_val += val
+    assert sorted(all_val) == sorted(cases)  # folds cover every case once
+    with pytest.raises(ValueError):
+        case.kfold_split(cases, 1, 0)
+    with pytest.raises(ValueError):
+        case.kfold_split(cases, 3, 3)
+    # degenerate: folds >= len(cases) must never yield an empty train set
+    train, val = case.kfold_split(["a", "b"], 2, 0)
+    assert train and val == ["a"]
+
+
+def test_train_cli_fold_validation(tmp_path):
+    """--folds/--fold argument contract: must come together and in range."""
+    from brats2019_tpu.cli import train as cli_train
+
+    d = synthetic.write_dataset(str(tmp_path), 2, shape=(32, 32, 32))
+    root = str(tmp_path)
+    assert cli_train.main(["--data", root, "--folds", "3"]) == 2
+    assert cli_train.main(["--data", root, "--fold", "0"]) == 2
+    assert cli_train.main(
+        ["--data", root, "--folds", "3", "--fold", "5"]
+    ) == 2
+
+
 def test_sample_patch_bounds_and_fg_bias():
     img, seg = synthetic.make_case_arrays(seed=1, shape=(64, 64, 48))
     fg = sampling.build_fg_table_np(seg)
