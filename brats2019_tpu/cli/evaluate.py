@@ -3,6 +3,7 @@
 Usage:
     python -m brats2019_tpu.cli.evaluate <root> [--preset cascade]
         [--workdir DIR] [--use-existing] [--out metrics.json]
+        [--folds K --fold I] [--ensemble WORKDIR ...]
 
 Runs prediction over every case under <root> that has ground-truth labels
 (``*_seg``) and reports per-case and mean Dice for the BraTS regions
@@ -43,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sens-spec", action="store_true",
                    help="also report per-region sensitivity/specificity "
                         "(completes the BraTS online evaluator's metric set)")
+    p.add_argument("--folds", type=int, default=None,
+                   help="score only fold I of a deterministic K-way split "
+                        "(the SAME partition train --folds uses, so a "
+                        "fold-trained member evaluates on ITS validation "
+                        "fold); requires --fold")
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--ensemble", default=None, nargs="+", metavar="WORKDIR",
+                   help="evaluate the checkpoint ensemble of the primary "
+                        "--workdir model and each listed workdir's model "
+                        "(mean probabilities, as predict --ensemble)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -56,6 +67,29 @@ def main(argv=None) -> int:
     cases = [d for d in discover_cases(args.root) if seg_path(d)]
     if not cases:
         print(f"error: no labelled cases under {args.root}", file=sys.stderr)
+        return 2
+    if args.folds is not None or args.fold is not None:
+        if args.folds is None or args.fold is None:
+            print("error: --folds and --fold must be given together",
+                  file=sys.stderr)
+            return 2
+        from ..data.case import kfold_split
+
+        try:
+            # the val half of the SAME deterministic partition train uses
+            _, cases = kfold_split(cases, args.folds, args.fold)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if not cases:
+            print(f"error: fold {args.fold}/{args.folds} holds no "
+                  f"labelled cases", file=sys.stderr)
+            return 2
+        print(f"[evaluate] fold {args.fold}/{args.folds}: "
+              f"{len(cases)} case(s)", flush=True)
+    if args.ensemble and args.use_existing:
+        print("error: --ensemble re-predicts; it cannot be combined with "
+              "--use-existing", file=sys.stderr)
         return 2
 
     predictor = None
@@ -75,9 +109,24 @@ def main(argv=None) -> int:
                 exp = dataclasses.replace(
                     exp, infer=dataclasses.replace(exp.infer, cascade=False)
                 )
-        from ..infer.predictor import Predictor
+        if args.ensemble:
+            from ..infer.ensemble import EnsemblePredictor
+            from .common import load_ensemble_members
 
-        predictor = Predictor(exp, params_fine, params_coarse)
+            try:
+                members = load_ensemble_members(
+                    exp, args.ensemble, (params_fine, params_coarse)
+                )
+            except FileNotFoundError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            predictor = EnsemblePredictor(exp, members)
+            print(f"[evaluate] ensemble of {predictor.num_members} members",
+                  flush=True)
+        else:
+            from ..infer.predictor import Predictor
+
+            predictor = Predictor(exp, params_fine, params_coarse)
 
     per_case = {}
     for d in cases:

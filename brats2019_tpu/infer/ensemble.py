@@ -175,6 +175,10 @@ class EnsemblePredictor:
         t3 = time.time()
         return labels, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
 
+    def predict_case(self, case) -> Tuple[np.ndarray, PredictionStats]:
+        """Predictor API parity (evaluate --ensemble comes through here)."""
+        return self.predict_arrays(case.image, meta=case.meta)
+
     def predict_dir(
         self, case_dir: str, output_path: Optional[str] = None
     ) -> Tuple[str, PredictionStats]:

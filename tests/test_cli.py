@@ -58,6 +58,26 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         "--use-existing", "--out", out_json, "--hd95",
     ])
     assert rc == 0
+
+    # fold-filtered ensemble evaluation: fold 0 of 2 = the first sorted
+    # case; a 2-member ensemble of the same workdir re-predicts it
+    ens_json = str(tmp_path / "metrics_ens.json")
+    rc = cli_evaluate.main([
+        data, "--preset", "unit", "--workdir", workdir,
+        "--ensemble", workdir, "--folds", "2", "--fold", "0",
+        "--out", ens_json,
+    ])
+    assert rc == 0
+    ens_metrics = json.load(open(ens_json))
+    assert ens_metrics["n_cases"] == 1
+    # invalid flag combos fail fast
+    assert cli_evaluate.main(
+        [data, "--preset", "unit", "--workdir", workdir, "--folds", "2"]
+    ) == 2
+    assert cli_evaluate.main(
+        [data, "--preset", "unit", "--workdir", workdir,
+         "--ensemble", workdir, "--use-existing"]
+    ) == 2
     metrics = json.load(open(out_json))
     assert set(metrics["mean"]) == {
         "WT", "TC", "ET", "HD95_WT", "HD95_TC", "HD95_ET",
