@@ -70,6 +70,28 @@ def _latest_checkpoint_mtime(workdir: str) -> float:
     return newest
 
 
+def _stage_param_template(exp: ExperimentConfig, stage: str):
+    """Zeroed params tree matching a stage's checkpoint layout (the orbax
+    restore template — ONE recipe shared by load/average paths)."""
+    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
+    assert unet_cfg is not None
+    like = params_like_for(unet_cfg)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), like
+    )
+
+
+def _stage_opt_template(exp: ExperimentConfig, params_like):
+    """Zeroed optimizer-state tree matching the stage checkpoint."""
+    from ..train.step import make_optimizer
+
+    tx = make_optimizer(exp.train)
+    opt_like = jax.eval_shape(lambda p: tx.init(p), params_like)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), opt_like
+    )
+
+
 def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
     """Uniform weight average of the last ``last_k`` retained step
     checkpoints of a stage (SWA-style checkpoint averaging — the classic
@@ -86,18 +108,9 @@ def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
 
     import numpy as np
 
-    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
-    assert unet_cfg is not None
     workdir = os.path.join(exp.workdir, stage)
-    like = params_like_for(unet_cfg)
-    like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
-    from ..train.step import make_optimizer
-
-    tx = make_optimizer(exp.train)
-    opt_like = jax.eval_shape(lambda p: tx.init(p), like)
-    opt_like = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), opt_like
-    )
+    like = _stage_param_template(exp, stage)
+    opt_like = _stage_opt_template(exp, like)
     ckpt = CheckpointManager(workdir)
     try:
         steps = ckpt.all_steps()
@@ -145,6 +158,18 @@ def load_ensemble_members(exp: ExperimentConfig, workdirs, primary):
     warning."""
     import sys
 
+    # duplicated workdirs silently double-weight a member in the mean
+    # (predict --workdir A --ensemble A B gives (2a+b)/3); warn, don't
+    # forbid — deliberate weighting via repetition stays possible
+    seen = {os.path.abspath(exp.workdir)}
+    for w in workdirs:
+        a = os.path.abspath(w)
+        if a in seen:
+            print(f"warning: ensemble member {w} appears more than once "
+                  f"(or is the primary --workdir); its probabilities are "
+                  f"double-weighted in the mean", file=sys.stderr)
+        seen.add(a)
+
     members = [primary]
     for w in workdirs:
         exp_w = dataclasses.replace(exp, workdir=w)
@@ -179,11 +204,8 @@ def load_stage_params(
     checkpoint, never a previous export."""
     import sys
 
-    unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
-    assert unet_cfg is not None
     workdir = os.path.join(exp.workdir, stage)
-    like = params_like_for(unet_cfg)
-    like = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), like)
+    like = _stage_param_template(exp, stage)
     if not from_checkpoint_only:
         exported = [
             p
@@ -214,14 +236,7 @@ def load_stage_params(
             if best is not None:
                 return best
         # fall back to latest full checkpoint (params only)
-        from ..train.step import make_optimizer
-
-        tx = make_optimizer(exp.train)
-        opt_like = jax.eval_shape(lambda p: tx.init(p), like)
-        opt_like = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), opt_like
-        )
-        restored = ckpt.restore(like, opt_like)
+        restored = ckpt.restore(like, _stage_opt_template(exp, like))
         if restored is None:
             raise FileNotFoundError(
                 f"No checkpoint found for stage '{stage}' under {workdir}"

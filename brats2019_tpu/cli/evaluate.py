@@ -64,10 +64,7 @@ def main(argv=None) -> int:
 
     setup_jax()
     exp = resolve_experiment(args)
-    cases = [d for d in discover_cases(args.root) if seg_path(d)]
-    if not cases:
-        print(f"error: no labelled cases under {args.root}", file=sys.stderr)
-        return 2
+    cases = discover_cases(args.root)
     if args.folds is not None or args.fold is not None:
         if args.folds is None or args.fold is None:
             print("error: --folds and --fold must be given together",
@@ -76,17 +73,23 @@ def main(argv=None) -> int:
         from ..data.case import kfold_split
 
         try:
-            # the val half of the SAME deterministic partition train uses
+            # partition the UNFILTERED discover_cases list — the same
+            # indexing train --folds uses — and only then drop unlabelled
+            # cases; filtering first would shift every case after an
+            # unlabelled one into a different fold than it trained in
             _, cases = kfold_split(cases, args.folds, args.fold)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        if not cases:
-            print(f"error: fold {args.fold}/{args.folds} holds no "
-                  f"labelled cases", file=sys.stderr)
-            return 2
         print(f"[evaluate] fold {args.fold}/{args.folds}: "
               f"{len(cases)} case(s)", flush=True)
+    cases = [d for d in cases if seg_path(d)]
+    if not cases:
+        print(f"error: no labelled cases under {args.root}"
+              + (f" in fold {args.fold}/{args.folds}"
+                 if args.folds is not None else ""),
+              file=sys.stderr)
+        return 2
     if args.ensemble and args.use_existing:
         print("error: --ensemble re-predicts; it cannot be combined with "
               "--use-existing", file=sys.stderr)

@@ -153,6 +153,34 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     return 0
 
 
+def _emit_probs_artifacts(pred, cases, save_probs, save_unc) -> None:
+    """ONE probability pass per case feeds BOTH opt-in artifacts (probs
+    npz and QU-BraTS uncertainty maps) — works for Predictor and
+    EnsemblePredictor alike."""
+    if not (save_probs or save_unc):
+        return
+    import os
+
+    from ..data.case import load_case
+    from ..infer.predictor import save_probs_npz
+    from ..infer.uncertainty import region_uncertainty_maps
+    from ..utils.nifti import write_nifti
+
+    for d in cases:
+        case = load_case(d, load_seg=False)
+        probs, _ = pred.predict_probs_arrays(case.image, meta=case.meta)
+        if save_probs:
+            out = save_probs_npz(
+                os.path.join(d, f"{case.name}_probs.npz"), probs
+            )
+            print(f"[predict] {d} probs -> {out}", flush=True)
+        if save_unc:
+            for name, u in region_uncertainty_maps(probs).items():
+                out = os.path.join(d, f"{case.name}_unc_{name}.nii.gz")
+                write_nifti(out, u, like=case.header)
+                print(f"[predict] {d} uncertainty -> {out}", flush=True)
+
+
 def _predict_ensemble(args, exp, primary, cases) -> int:
     """--ensemble: mean-probability multi-checkpoint prediction."""
     from ..infer.ensemble import EnsemblePredictor
@@ -185,15 +213,9 @@ def _predict_ensemble(args, exp, primary, cases) -> int:
             print(f"[predict] {d} -> {out} "
                   f"(load {stats.load_s:.2f}s, device {stats.device_s:.2f}s, "
                   f"post {stats.post_s:.2f}s)", flush=True)
-            if args.save_probs:
-                p_out = pred.predict_probs_dir(d)
-                print(f"[predict] {d} probs -> {p_out}", flush=True)
-            if args.save_uncertainty:
-                from ..infer.uncertainty import predict_uncertainty_dir
-
-                for u_out in predict_uncertainty_dir(pred, d):
-                    print(f"[predict] {d} uncertainty -> {u_out}",
-                          flush=True)
+        _emit_probs_artifacts(
+            pred, cases, args.save_probs, args.save_uncertainty
+        )
     finally:
         if args.profile:
             import jax
@@ -290,17 +312,9 @@ def main(argv=None) -> int:
             outs = predictor.predict_dirs(cases)
             for d, out in zip(cases, outs):
                 print(f"[predict] {d} -> {out}", flush=True)
-        if args.save_probs:
-            for d in cases:
-                p_out = predictor.predict_probs_dir(d)
-                print(f"[predict] {d} probs -> {p_out}", flush=True)
-        if args.save_uncertainty:
-            from ..infer.uncertainty import predict_uncertainty_dir
-
-            for d in cases:
-                for u_out in predict_uncertainty_dir(predictor, d):
-                    print(f"[predict] {d} uncertainty -> {u_out}",
-                          flush=True)
+        _emit_probs_artifacts(
+            predictor, cases, args.save_probs, args.save_uncertainty
+        )
     finally:
         # an exception mid-predict must still finalize the trace (ADVICE
         # round 2) — an open trace dir is unreadable by tensorboard

@@ -37,7 +37,12 @@ from ..data.case import load_case
 from ..data.constants import internal_to_disk
 from ..utils.nifti import write_nifti
 from .postprocess import postprocess_labels
-from .predictor import PredictionStats, Predictor, _start_host_copy
+from .predictor import (
+    PredictionStats,
+    Predictor,
+    _start_host_copy,
+    save_probs_npz,
+)
 
 
 class EnsemblePredictor:
@@ -77,18 +82,33 @@ class EnsemblePredictor:
         self.exp = exp
 
         # on-device accumulation helpers (module docstring): the ROI shape
-        # is static per experiment, so both jits compile once
-        @jax.jit
-        def _accum(acc, probs_r, start):
-            idx = (start[0], start[1], start[2], jnp.int32(0))
-            cur = jax.lax.dynamic_slice(acc, idx, probs_r.shape)
-            return jax.lax.dynamic_update_slice(acc, cur + probs_r, idx)
+        # is static per experiment, so the jits compile once. Alongside the
+        # probability sum we track a per-voxel COVERAGE COUNT — members'
+        # cascades can localize different ROIs, so a boundary voxel may be
+        # written by only k < M members; its mean must divide by k, not M
+        # (dividing by M would scale a covered voxel's distribution by k/M,
+        # corrupting probs/uncertainty outputs; the argmax is count-
+        # invariant — the count is a per-voxel scalar across classes — so
+        # the labels path reads the raw sum).
+        def _accum(acc, cnt, probs_r, start):
+            idx4 = (start[0], start[1], start[2], jnp.int32(0))
+            cur = jax.lax.dynamic_slice(acc, idx4, probs_r.shape)
+            acc = jax.lax.dynamic_update_slice(acc, cur + probs_r, idx4)
+            idx3 = (start[0], start[1], start[2])
+            roi = probs_r.shape[:3]
+            c = jax.lax.dynamic_slice(cnt, idx3, roi)
+            cnt = jax.lax.dynamic_update_slice(cnt, c + 1.0, idx3)
+            return acc, cnt
 
-        # donate the accumulator: XLA reuses the canvas buffer in place
+        # donate the accumulators: XLA reuses the canvas buffers in place
         # instead of allocating a fresh ~60 MB canvas per member
-        self._accum = jax.jit(_accum, donate_argnums=0)
+        self._accum = jax.jit(_accum, donate_argnums=(0, 1))
         self._argmax = jax.jit(
             lambda acc: jnp.argmax(acc, -1).astype(jnp.uint8)
+        )
+        # per-voxel mean on device: one fetch of the finished canvas
+        self._mean = jax.jit(
+            lambda acc, cnt: acc / jnp.maximum(cnt, 1.0)[..., None]
         )
 
     @property
@@ -113,24 +133,24 @@ class EnsemblePredictor:
         return self._members_by_dev[dev]
 
     def _accum_probs_device(self, canvas_img, dev=None):
-        """Sum of member ROI probabilities on a device-resident f32 canvas
-        (NOT yet divided by M — argmax is scale-invariant)."""
+        """(sum, coverage-count) of member ROI probabilities on device-
+        resident f32 canvases (NOT yet divided — argmax reads the raw sum,
+        the mean divides per voxel by the count)."""
         dev = dev or self._p._default_dev
         shape = self._p.canvas + (self.exp.unet.num_classes,)
         acc = jax.device_put(jnp.zeros(shape, jnp.float32), dev)
+        cnt = jax.device_put(jnp.zeros(self._p.canvas, jnp.float32), dev)
         for pf, pc in self._members_on(dev):
             probs_r, start = self._p._fn.probs_fn(pf, pc, canvas_img)
-            acc = self._accum(acc, probs_r, start)
-        return acc
+            acc, cnt = self._accum(acc, cnt, probs_r, start)
+        return acc, cnt
 
     def _mean_probs_canvas(self, canvas_img) -> np.ndarray:
-        """Host f32 mean canvas: one device->host fetch total.
+        """Host f32 per-voxel-mean canvas: one device->host fetch total.
         ``np.array`` (not asarray): device_get can hand back a READ-ONLY
-        zero-copy view, and the mean + downstream background fill mutate."""
-        acc = self._accum_probs_device(canvas_img)
-        out = np.array(jax.device_get(acc), np.float32)
-        out *= 1.0 / len(self._members)
-        return out
+        zero-copy view, and the downstream background fill mutates."""
+        acc, cnt = self._accum_probs_device(canvas_img)
+        return np.array(jax.device_get(self._mean(acc, cnt)), np.float32)
 
     def predict_probs_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
@@ -160,10 +180,11 @@ class EnsemblePredictor:
             image, self._p._default_dev, meta=meta
         )
         t1 = time.time()
-        acc = self._accum_probs_device(canvas_img)
+        acc, _ = self._accum_probs_device(canvas_img)
         # argmax on device: only a uint8 canvas crosses the link, and the
-        # un-normalized sum argmaxes identically to the mean. Un-written
-        # canvas voxels are all-zero -> argmax=0 = background.
+        # un-normalized sum argmaxes identically to the mean (the coverage
+        # count is a per-voxel scalar across classes). Un-written canvas
+        # voxels are all-zero -> argmax=0 = background.
         labels_c = np.asarray(jax.device_get(self._argmax(acc)))
         t2 = time.time()
         labels = self._p._uncrop(labels_c, cropped_shape, bbox)
@@ -228,9 +249,9 @@ class EnsemblePredictor:
             canvas_img, shape, bbox = self._p._prep_to(
                 case.image, dev, meta=case.meta
             )
-            labels_dev = self._argmax(self._accum_probs_device(
-                canvas_img, dev=dev
-            ))
+            labels_dev = self._argmax(
+                self._accum_probs_device(canvas_img, dev=dev)[0]
+            )
             _start_host_copy(labels_dev)
             pending.append((case, d, labels_dev, shape, bbox, out))
             while len(pending) >= window:
@@ -248,9 +269,4 @@ class EnsemblePredictor:
         probs, _ = self.predict_probs_arrays(case.image, meta=case.meta)
         if output_path is None:
             output_path = os.path.join(case_dir, f"{case.name}_probs.npz")
-        np.savez_compressed(
-            output_path,
-            probs=probs.astype(np.float16),
-            classes=np.array([0, 1, 2, 4], np.int32),
-        )
-        return output_path
+        return save_probs_npz(output_path, probs)

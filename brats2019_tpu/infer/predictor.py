@@ -37,6 +37,19 @@ from ..utils.nifti import write_nifti
 from .postprocess import postprocess_labels
 
 
+def save_probs_npz(output_path: str, probs: np.ndarray) -> str:
+    """The ``<case>_probs.npz`` artifact contract, in ONE place (predictor,
+    ensemble, and the predict CLI all write through here): float16
+    ``probs`` (X, Y, Z, C) + ``classes`` naming the channel order in BraTS
+    disk labels [0, 1, 2, 4]."""
+    np.savez_compressed(
+        output_path,
+        probs=probs.astype(np.float16),
+        classes=np.array([0, 1, 2, 4], np.int32),
+    )
+    return output_path
+
+
 def _start_host_copy(*arrays) -> None:
     """Kick off async device->host readback so it overlaps the next
     volume's device work (the blocking np.asarray in the post thread then
@@ -436,12 +449,7 @@ class Predictor:
         probs, _ = self.predict_probs_arrays(case.image, meta=case.meta)
         if output_path is None:
             output_path = os.path.join(case_dir, f"{case.name}_probs.npz")
-        np.savez_compressed(
-            output_path,
-            probs=probs.astype(np.float16),
-            classes=np.array([0, 1, 2, 4], np.int32),
-        )
-        return output_path
+        return save_probs_npz(output_path, probs)
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
         return self.predict_arrays(case.image, meta=case.meta)

@@ -69,7 +69,31 @@ def test_train_cli_fold_validation(tmp_path):
     ) == 2
 
 
-def test_sample_patch_bounds_and_fg_bias():
+def test_evaluate_fold_indexing_matches_train(tmp_path, capsys):
+    """evaluate --folds must partition the UNFILTERED case list (the same
+    indexing train uses) and only then drop unlabelled cases — an
+    unlabelled case must not shift later cases into different folds."""
+    import os
+
+    from brats2019_tpu.cli import evaluate as cli_evaluate
+
+    dirs = synthetic.write_dataset(str(tmp_path), 2, shape=(32, 32, 32))
+    # strip case 0's ground truth: train still counts it at index 0
+    seg0 = case.seg_path(dirs[0])
+    os.remove(seg0)
+    root = str(tmp_path)
+    # fold 0 = [case0] which is unlabelled -> clean error, not a silent
+    # re-indexing that would evaluate case1 under fold 0
+    rc = cli_evaluate.main([root, "--preset", "unit",
+                            "--workdir", str(tmp_path / "nope"),
+                            "--folds", "2", "--fold", "0",
+                            "--use-existing"])
+    assert rc == 2
+    # the failure must be "fold 0 has no labels", NOT a re-indexed attempt
+    # to score case1 (which would say 'missing ..._pred' / 'nothing
+    # evaluated' instead)
+    err = capsys.readouterr().err
+    assert "no labelled cases" in err and "fold 0/2" in err
     img, seg = synthetic.make_case_arrays(seed=1, shape=(64, 64, 48))
     fg = sampling.build_fg_table_np(seg)
     key = jax.random.PRNGKey(0)

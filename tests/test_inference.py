@@ -592,6 +592,43 @@ def test_ensemble_predictor(tmp_path):
         EnsemblePredictor(exp, [])
 
 
+def test_ensemble_partial_roi_coverage_mean():
+    """Members' cascades may localize DIFFERENT ROIs: a voxel covered by
+    only k of M members must divide by k (its own coverage), not M —
+    dividing by M would scale a covered voxel's distribution by k/M and
+    corrupt probs/uncertainty outputs. Exercises the device accumulators
+    directly with two overlapping ROI placements."""
+    import jax
+
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+
+    exp = _make_exp(False)
+    e = EnsemblePredictor(exp, [(_init_params(0), None),
+                                (_init_params(7), None)])
+    canvas = e._p.canvas  # (32, 32, 32) pool shape
+    C = exp.unet.num_classes
+    acc = jnp.zeros(canvas + (C,), jnp.float32)
+    cnt = jnp.zeros(canvas, jnp.float32)
+    roi = np.zeros((8, 8, 8, C), np.float32)
+    roi[..., 1] = 0.9
+    roi[..., 0] = 0.1
+    # member A at (0,0,0), member B at (4,0,0): overlap is x in [4,8)
+    acc, cnt = e._accum(acc, cnt, jnp.asarray(roi), jnp.zeros(3, jnp.int32))
+    acc, cnt = e._accum(
+        acc, cnt, jnp.asarray(roi), jnp.asarray([4, 0, 0], jnp.int32)
+    )
+    mean = np.asarray(jax.device_get(e._mean(acc, cnt)))
+    cnt_np = np.asarray(jax.device_get(cnt))
+    assert cnt_np[0, 0, 0] == 1 and cnt_np[5, 0, 0] == 2
+    assert cnt_np[12, 0, 0] == 0
+    # single-coverage voxel keeps its OWN distribution, not half of it
+    np.testing.assert_allclose(mean[0, 0, 0], roi[0, 0, 0], atol=1e-6)
+    # double-coverage voxel: mean of two identical contributions
+    np.testing.assert_allclose(mean[5, 0, 0], roi[0, 0, 0], atol=1e-6)
+    # uncovered voxel: all-zero (predict_probs_arrays backfills background)
+    np.testing.assert_array_equal(mean[12, 0, 0], np.zeros(C))
+
+
 def test_ensemble_predict_dirs_striped(tmp_path):
     """Multi-case ensemble serving: cases striped over the (virtual
     8-device) mesh with windowed dispatch must produce EXACTLY the masks
