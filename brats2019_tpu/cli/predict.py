@@ -153,10 +153,12 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     return 0
 
 
-def _emit_probs_artifacts(pred, cases, save_probs, save_unc) -> None:
+def _emit_probs_artifacts(
+    pred, cases, save_probs, save_unc, output_dir=None
+) -> None:
     """ONE probability pass per case feeds BOTH opt-in artifacts (probs
     npz and QU-BraTS uncertainty maps) — works for Predictor and
-    EnsemblePredictor alike."""
+    EnsemblePredictor alike; serve reuses it with its --output-dir."""
     if not (save_probs or save_unc):
         return
     import os
@@ -169,14 +171,15 @@ def _emit_probs_artifacts(pred, cases, save_probs, save_unc) -> None:
     for d in cases:
         case = load_case(d, load_seg=False)
         probs, _ = pred.predict_probs_arrays(case.image, meta=case.meta)
+        dst = output_dir or d
         if save_probs:
             out = save_probs_npz(
-                os.path.join(d, f"{case.name}_probs.npz"), probs
+                os.path.join(dst, f"{case.name}_probs.npz"), probs
             )
             print(f"[predict] {d} probs -> {out}", flush=True)
         if save_unc:
             for name, u in region_uncertainty_maps(probs).items():
-                out = os.path.join(d, f"{case.name}_unc_{name}.nii.gz")
+                out = os.path.join(dst, f"{case.name}_unc_{name}.nii.gz")
                 write_nifti(out, u, like=case.header)
                 print(f"[predict] {d} uncertainty -> {out}", flush=True)
 

@@ -128,6 +128,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "AND each listed workdir's model (one compiled "
                         "program, M member passes per case; host "
                         "postprocessing)")
+    p.add_argument("--save-probs", action="store_true",
+                   help="also write <case>_probs.npz per served case "
+                        "(one extra device pass per case)")
+    p.add_argument("--save-uncertainty", action="store_true",
+                   help="also write QU-BraTS uncertainty maps "
+                        "<case>_unc_{whole,core,enhance}.nii.gz per "
+                        "served case (shares the --save-probs device "
+                        "pass when both are on)")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -149,8 +157,16 @@ def _case_ready(case_dir: str, sizes: dict) -> bool:
 
 
 class Server:
+    # class-level defaults so minimally-constructed instances (tests,
+    # embedding) get artifact emission OFF without touching __init__
+    save_probs = False
+    save_uncertainty = False
+
     def __init__(self, exp, output_dir=None, log_dir=None, retries=1,
-                 retry_backoff=1.0, ensemble_workdirs=None):
+                 retry_backoff=1.0, ensemble_workdirs=None,
+                 save_probs=False, save_uncertainty=False):
+        self.save_probs = save_probs
+        self.save_uncertainty = save_uncertainty
         params_fine = load_stage_params(exp, "fine")
         params_coarse = None
         if exp.infer.cascade and exp.coarse_unet is not None:
@@ -294,6 +310,21 @@ class Server:
             f"({len(case_dirs) / wall:.3f} vol/s)",
             flush=True,
         )
+        # best-effort QA artifacts for the SERVED cases (opt-in; the
+        # prediction already succeeded and is logged — an artifact
+        # failure must not quarantine or crash)
+        if self.save_probs or self.save_uncertainty:
+            from .predict import _emit_probs_artifacts
+
+            served = [d for d, e in zip(case_dirs, errs) if e is None]
+            try:
+                _emit_probs_artifacts(
+                    self.predictor, served, self.save_probs,
+                    self.save_uncertainty, output_dir=self.output_dir,
+                )
+            except Exception as e:  # noqa: BLE001 — QA is best-effort
+                print(f"serve: artifact pass failed: {e}",
+                      file=sys.stderr, flush=True)
         return outs
 
     def _predict_one_isolated(self, case_dir: str):
@@ -414,6 +445,8 @@ def main(argv=None) -> int:
             exp, output_dir=args.output_dir, log_dir=args.watch_root,
             retries=args.retries, retry_backoff=args.retry_backoff,
             ensemble_workdirs=args.ensemble,
+            save_probs=args.save_probs,
+            save_uncertainty=args.save_uncertainty,
         )
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)

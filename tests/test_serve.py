@@ -100,6 +100,7 @@ def test_serve_once_ensemble(tmp_path, monkeypatch):
     rc = cli_serve.main([
         str(watch), "--preset", "unit", "--workdir", workdir,
         "--ensemble", workdir, "--output-dir", out_dir, "--once",
+        "--save-probs", "--save-uncertainty",
     ])
     assert rc == 0
     log = [
@@ -110,6 +111,19 @@ def test_serve_once_ensemble(tmp_path, monkeypatch):
     seg, _ = read_nifti(log[0]["output"], apply_scaling=False)
     assert seg.shape == (32, 32, 32)
     assert set(np.unique(seg)) <= {0, 1, 2, 4}
+    # QA artifacts land in --output-dir, never the watch tree
+    z = np.load(os.path.join(out_dir, "BraTS19_SYN_000_1_probs.npz"))
+    assert z["probs"].shape == (32, 32, 32, 4)
+    for r in ("whole", "core", "enhance"):
+        u, _ = read_nifti(
+            os.path.join(out_dir, f"BraTS19_SYN_000_1_unc_{r}.nii.gz"),
+            apply_scaling=False,
+        )
+        assert u.min() >= 0 and u.max() <= 100
+    assert not any(
+        f.endswith((".npz", "_pred.nii.gz")) or "_unc_" in f
+        for f in os.listdir(watch / "BraTS19_SYN_000_1")
+    )
 
 
 def test_serve_stop_signal_drains():
