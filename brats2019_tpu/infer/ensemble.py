@@ -70,6 +70,7 @@ class EnsemblePredictor:
         pf0, pc0 = members[0]
         self._p = Predictor(exp, pf0, pc0, canvas=canvas)
         dev = self._p._default_dev
+        self._member_cache: dict = {}
         # commit every member to the predictor's device once, up front —
         # per-call device_put would re-pay the transfer each volume
         self._members = [(self._p.params_fine, self._p.params_coarse)] + [
@@ -115,41 +116,83 @@ class EnsemblePredictor:
     def num_members(self) -> int:
         return len(self._members)
 
-    def _members_on(self, dev):
-        """Per-device committed copies of every member's params (multi-
-        device case striping; mirrors Predictor._params_on)."""
+    def _member_on(self, i: int, dev):
+        """Member i's params committed to ``dev``, cached per (member,
+        device) — member-parallel dispatch places ONE member per device,
+        so caching whole member lists per device would waste HBM."""
         if dev == self._p._default_dev:
-            return self._members
-        if not hasattr(self, "_members_by_dev"):
-            self._members_by_dev = {}
-        if dev not in self._members_by_dev:
-            self._members_by_dev[dev] = [
-                (
-                    jax.device_put(pf, dev),
-                    jax.device_put(pc, dev) if pc is not None else None,
-                )
-                for pf, pc in self._members
-            ]
-        return self._members_by_dev[dev]
+            return self._members[i]
+        key = (i, dev)
+        if key not in self._member_cache:
+            pf, pc = self._members[i]
+            self._member_cache[key] = (
+                jax.device_put(pf, dev),
+                jax.device_put(pc, dev) if pc is not None else None,
+            )
+        return self._member_cache[key]
+
+    def _members_on(self, dev):
+        """All members committed to ``dev`` (multi-case striping runs a
+        case's WHOLE ensemble on one device)."""
+        return [self._member_on(i, dev) for i in range(len(self._members))]
 
     def _accum_probs_device(self, canvas_img, dev=None):
         """(sum, coverage-count) of member ROI probabilities on device-
         resident f32 canvases (NOT yet divided — argmax reads the raw sum,
-        the mean divides per voxel by the count)."""
+        the mean divides per voxel by the count). Sequential member passes
+        on ONE device — the multi-case serving path stripes whole cases
+        instead (predict_dirs)."""
         dev = dev or self._p._default_dev
+        results = []
+        for pf, pc in self._members_on(dev):
+            results.append(self._p._fn.probs_fn(pf, pc, canvas_img))
+        return self._reduce_results(results, dev)
+
+    def _accum_probs_parallel(self, canvas_img):
+        """Member-PARALLEL dispatch: member i runs on local device i, all
+        forwards concurrently, ROI results stream back to the primary
+        device for the (order-fixed, bitwise-identical) accumulation —
+        single-case ensemble latency ~= one forward + transfer instead of
+        M forwards. Used by the single-volume entry points when several
+        local devices exist; falls back to the sequential path otherwise.
+        The input broadcast and result gather ride the device interconnect
+        on real multi-chip hosts."""
+        devs = jax.local_devices()
+        dev0 = self._p._default_dev
+        results = []
+        for i in range(len(self._members)):
+            dev = devs[i % len(devs)]
+            x = canvas_img if dev == dev0 else jax.device_put(canvas_img, dev)
+            pf, pc = self._member_on(i, dev)
+            results.append(self._p._fn.probs_fn(pf, pc, x))
+        return self._reduce_results(results, dev0)
+
+    def _reduce_results(self, results, dev):
+        """Accumulate (probs_r, start) member results onto ``dev`` in
+        member order (deterministic f32 sum regardless of which device
+        produced each result)."""
         shape = self._p.canvas + (self.exp.unet.num_classes,)
         acc = jax.device_put(jnp.zeros(shape, jnp.float32), dev)
         cnt = jax.device_put(jnp.zeros(self._p.canvas, jnp.float32), dev)
-        for pf, pc in self._members_on(dev):
-            probs_r, start = self._p._fn.probs_fn(pf, pc, canvas_img)
+        for probs_r, start in results:
+            if probs_r.devices() != {dev}:
+                probs_r = jax.device_put(probs_r, dev)
+                start = jax.device_put(start, dev)
             acc, cnt = self._accum(acc, cnt, probs_r, start)
         return acc, cnt
+
+    def _accum_probs_auto(self, canvas_img):
+        """Single-volume entry: member-parallel when the host has several
+        devices and several members, else sequential."""
+        if len(self._members) > 1 and len(jax.local_devices()) > 1:
+            return self._accum_probs_parallel(canvas_img)
+        return self._accum_probs_device(canvas_img)
 
     def _mean_probs_canvas(self, canvas_img) -> np.ndarray:
         """Host f32 per-voxel-mean canvas: one device->host fetch total.
         ``np.array`` (not asarray): device_get can hand back a READ-ONLY
         zero-copy view, and the downstream background fill mutates."""
-        acc, cnt = self._accum_probs_device(canvas_img)
+        acc, cnt = self._accum_probs_auto(canvas_img)
         return np.array(jax.device_get(self._mean(acc, cnt)), np.float32)
 
     def predict_probs_arrays(
@@ -180,7 +223,7 @@ class EnsemblePredictor:
             image, self._p._default_dev, meta=meta
         )
         t1 = time.time()
-        acc, _ = self._accum_probs_device(canvas_img)
+        acc, _ = self._accum_probs_auto(canvas_img)
         # argmax on device: only a uint8 canvas crosses the link, and the
         # un-normalized sum argmaxes identically to the mean (the coverage
         # count is a per-voxel scalar across classes). Un-written canvas

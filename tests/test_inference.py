@@ -592,6 +592,30 @@ def test_ensemble_predictor(tmp_path):
         EnsemblePredictor(exp, [])
 
 
+def test_ensemble_member_parallel_matches_sequential():
+    """Member-parallel dispatch (one member per local device, results
+    gathered to the primary) must be BITWISE identical to the sequential
+    single-device path — the accumulation order is fixed by member index
+    either way."""
+    import jax
+
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+
+    exp = _make_exp(True)
+    e = EnsemblePredictor(exp, [(_init_params(0), _init_params(1)),
+                                (_init_params(7), _init_params(1))])
+    image, _ = make_case_arrays(seed=41, shape=(40, 36, 28))
+    canvas_img, _, _ = e._p._prep_to(image, e._p._default_dev)
+    acc_s, cnt_s = e._accum_probs_device(canvas_img)
+    acc_p, cnt_p = e._accum_probs_parallel(canvas_img)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(acc_s)), np.asarray(jax.device_get(acc_p))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(cnt_s)), np.asarray(jax.device_get(cnt_p))
+    )
+
+
 def test_ensemble_partial_roi_coverage_mean():
     """Members' cascades may localize DIFFERENT ROIs: a voxel covered by
     only k of M members must divide by k (its own coverage), not M —
