@@ -21,7 +21,7 @@ def resolve_experiment(args) -> ExperimentConfig:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, steps=args.steps)
         )
-    for flag in ("checkpoint_every", "eval_every", "log_every"):
+    for flag in ("checkpoint_every", "eval_every", "log_every", "ema_decay"):
         v = getattr(args, flag, None)
         if v is not None:
             exp = dataclasses.replace(
@@ -92,6 +92,58 @@ def _stage_opt_template(exp: ExperimentConfig, params_like):
     )
 
 
+def _restore_with_either_template(restore_fn, exp: ExperimentConfig, like):
+    """Run ``restore_fn(opt_template)`` with the caller's optimizer-state
+    structure, falling back to the ema/no-ema FLIPPED structure — a
+    checkpoint written by an --ema-decay run must stay restorable from a
+    preset without it (and vice versa)."""
+    try:
+        return restore_fn(_stage_opt_template(exp, like))
+    except Exception:
+        alt = 0.0 if exp.train.ema_decay > 0 else 0.5
+        exp_alt = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, ema_decay=alt)
+        )
+        return restore_fn(_stage_opt_template(exp_alt, like))
+
+
+def _opt_template_with_ema(exp: ExperimentConfig, like):
+    """Opt-state template whose STRUCTURE includes the EMA tracker (the
+    decay value never affects the state shape) — for restoring checkpoints
+    written by an --ema-decay run regardless of the caller's preset."""
+    exp_ema = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, ema_decay=0.5)
+    )
+    return _stage_opt_template(exp_ema, like)
+
+
+def ema_stage_params(exp: ExperimentConfig, stage: str):
+    """The weight-EMA tree from a stage's latest FULL checkpoint (the EMA
+    rides in the optimizer state — train/step.py params_ema_tracker).
+    Raises FileNotFoundError when there is no checkpoint or the run was
+    trained without ``--ema-decay``."""
+    from ..train.step import get_ema_params
+
+    workdir = os.path.join(exp.workdir, stage)
+    like = _stage_param_template(exp, stage)
+    ckpt = CheckpointManager(workdir)
+    try:
+        restored = None
+        try:
+            restored = ckpt.restore(like, _opt_template_with_ema(exp, like))
+        except Exception:
+            pass  # not an EMA checkpoint (or none) — re-raise as not-found
+        ema = get_ema_params(restored[1]) if restored is not None else None
+        if ema is None:
+            raise FileNotFoundError(
+                f"No EMA state in stage '{stage}' checkpoints under "
+                f"{workdir} (train with --ema-decay to record one)"
+            )
+        return ema
+    finally:
+        ckpt.close()
+
+
 def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
     """Uniform weight average of the last ``last_k`` retained step
     checkpoints of a stage (SWA-style checkpoint averaging — the classic
@@ -110,7 +162,6 @@ def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
 
     workdir = os.path.join(exp.workdir, stage)
     like = _stage_param_template(exp, stage)
-    opt_like = _stage_opt_template(exp, like)
     ckpt = CheckpointManager(workdir)
     try:
         steps = ckpt.all_steps()
@@ -128,7 +179,10 @@ def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
             )
         acc = None
         for s in steps:
-            p = ckpt.restore_params_at(s, like, opt_like)
+            p = _restore_with_either_template(
+                lambda ol, s=s: ckpt.restore_params_at(s, like, ol),
+                exp, like,
+            )
             p32 = jax.tree_util.tree_map(
                 lambda x: np.asarray(x, np.float32), p
             )
@@ -236,7 +290,9 @@ def load_stage_params(
             if best is not None:
                 return best
         # fall back to latest full checkpoint (params only)
-        restored = ckpt.restore(like, _stage_opt_template(exp, like))
+        restored = _restore_with_either_template(
+            lambda opt_like: ckpt.restore(like, opt_like), exp, like
+        )
         if restored is None:
             raise FileNotFoundError(
                 f"No checkpoint found for stage '{stage}' under {workdir}"

@@ -21,6 +21,7 @@ from ..configs.presets import PRESETS
 from ..train.checkpoint import export_params
 from .common import (
     average_stage_params,
+    ema_stage_params,
     load_stage_params,
     resolve_experiment,
 )
@@ -37,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "retained step checkpoints (SWA-style checkpoint "
                         "averaging: one averaged model, one serving-time "
                         "forward pass) instead of the best/latest params")
+    p.add_argument("--ema", action="store_true",
+                   help="export the weight EMA recorded by a "
+                        "`train --ema-decay` run (rides in the optimizer "
+                        "state of the latest full checkpoint) instead of "
+                        "the best/latest params")
     return p
 
 
@@ -62,10 +68,16 @@ def main(argv=None) -> int:
     if args.average is not None and args.average < 1:
         print("error: --average must be >= 1", file=sys.stderr)
         return 2
+    if args.average and args.ema:
+        print("error: --average and --ema are mutually exclusive",
+              file=sys.stderr)
+        return 2
     rc = 0
     for stage in stages:
         try:
-            if args.average:
+            if args.ema:
+                params = ema_stage_params(exp, stage)
+            elif args.average:
                 params = average_stage_params(exp, stage, args.average)
             else:
                 # never read a previous export here: re-export must

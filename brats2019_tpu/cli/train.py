@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "as a KD student of those fine checkpoints (C18)")
     p.add_argument("--kd-weight", type=float, default=1.0)
     p.add_argument("--kd-temperature", type=float, default=2.0)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="track an exponential moving average of the "
+                        "weights (e.g. 0.999) inside the optimizer state; "
+                        "export it with `export --ema`")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
     p.add_argument("--debug-checks", action="store_true",

@@ -57,6 +57,10 @@ class TrainConfig:
     warmup_steps: int = 1000
     weight_decay: float = 1e-5
     grad_clip: float = 1.0
+    # exponential moving average of the weights, tracked inside the
+    # optimizer state (0 = off). Exported via `export --ema`; the live
+    # params keep training/eval'ing unchanged
+    ema_decay: float = 0.0
     # loss
     dice_weight: float = 1.0
     ce_weight: float = 1.0

@@ -19,7 +19,7 @@ TPU-first design, contrasted with the reference's loop (host DataLoader ->
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +33,55 @@ from ..parallel.mesh import DATA_AXIS, MeshEnv
 from .loss import segmentation_loss
 
 
+class EmaState(NamedTuple):
+    """State of ``params_ema_tracker``: the weight EMA itself."""
+
+    ema: Any
+
+
+def params_ema_tracker(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the PARAMETERS inside the
+    optimizer chain (last element, so ``updates`` here are final):
+    ``ema <- decay * ema + (1 - decay) * (params + updates)``. Riding in
+    ``opt_state`` means zero changes to the step signature, checkpoint
+    layout handling, or resume — the EMA is saved/restored with the
+    optimizer and costs one fused multiply-add per step. Initialized to
+    the initial params (standard warm init)."""
+
+    def init(params):
+        # COPY, never alias: the train step donates params and opt_state
+        # as separate arguments — an ema that shares the params' buffers
+        # makes XLA reject the dispatch ("donate the same buffer twice")
+        return EmaState(
+            ema=jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
+        )
+
+    def update(updates, state, params=None):
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates,
+        )
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Extract the weight EMA from a chain's state (None when the run was
+    trained without ``ema_decay``)."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+    ):
+        if isinstance(s, EmaState):
+            return s.ema
+    return None
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW + linear warmup -> cosine decay + global-norm clipping."""
+    """AdamW + linear warmup -> cosine decay + global-norm clipping
+    (+ optional weight-EMA tracking, ``cfg.ema_decay > 0``)."""
     # clamp warmup below the run length (short runs/smoke keep a valid decay)
     warmup = min(cfg.warmup_steps, max(cfg.steps // 2, 0))
     if warmup > 0:
@@ -50,10 +97,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         schedule = optax.cosine_decay_schedule(
             cfg.lr, decay_steps=max(cfg.steps, 2), alpha=cfg.end_lr_frac
         )
-    return optax.chain(
+    parts = [
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
-    )
+    ]
+    if cfg.ema_decay > 0.0:
+        parts.append(params_ema_tracker(cfg.ema_decay))
+    return optax.chain(*parts)
 
 
 @dataclasses.dataclass

@@ -144,3 +144,65 @@ def test_grad_accumulation_matches_mean_of_microbatches(setup):
     np.testing.assert_allclose(
         float(aux2["loss"]), np.mean(losses), rtol=1e-5
     )
+
+
+def test_params_ema_tracker_math():
+    """EMA transform: updates pass through unchanged; ema follows
+    decay*ema + (1-decay)*(params+updates); get_ema_params finds the
+    state inside a full chain (and returns None without one)."""
+    import optax
+
+    from brats2019_tpu.train.step import (
+        get_ema_params,
+        params_ema_tracker,
+    )
+
+    tx = params_ema_tracker(0.9)
+    params = {"w": jnp.array([1.0, 2.0])}
+    state = tx.init(params)
+    np.testing.assert_array_equal(
+        np.asarray(get_ema_params(state)["w"]), [1.0, 2.0]
+    )
+    updates = {"w": jnp.array([0.5, -0.5])}
+    out_updates, state = tx.update(updates, state, params)
+    np.testing.assert_array_equal(np.asarray(out_updates["w"]), [0.5, -0.5])
+    # ema = 0.9 * init + 0.1 * (params + updates)
+    np.testing.assert_allclose(
+        np.asarray(get_ema_params(state)["w"]),
+        0.9 * np.array([1.0, 2.0]) + 0.1 * np.array([1.5, 1.5]),
+        rtol=1e-6,
+    )
+    # embedded in the full optimizer chain
+    cfg = dataclasses.replace(CFG, ema_decay=0.99)
+    full = make_optimizer(cfg)
+    st = full.init(params)
+    assert get_ema_params(st) is not None
+    assert get_ema_params(make_optimizer(CFG).init(params)) is None
+
+
+def test_train_step_tracks_ema(setup):
+    """The compiled DP step updates the in-optimizer EMA exactly as the
+    recurrence over the emitted params sequence predicts."""
+    from brats2019_tpu.train.step import get_ema_params
+
+    env, apply_fn, _, params, _, pools = setup
+    decay = 0.5
+    cfg = dataclasses.replace(CFG, ema_decay=decay)
+    step = make_train_step(apply_fn, cfg, env)
+    opt_state = jax.device_put(
+        step.tx.init(params), env.replicated()
+    )
+    p, s = params, opt_state
+    ema_ref = jax.tree_util.tree_map(np.asarray, params)
+    for i in range(2):
+        p, s, _ = step.fn(p, s, *pools, jnp.int32(i))
+        ema_ref = jax.tree_util.tree_map(
+            lambda e, q: decay * e + (1 - decay) * np.asarray(q), ema_ref, p
+        )
+    got = get_ema_params(s)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ema_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
