@@ -128,11 +128,23 @@ def ema_stage_params(exp: ExperimentConfig, stage: str):
     like = _stage_param_template(exp, stage)
     ckpt = CheckpointManager(workdir)
     try:
-        restored = None
+        if ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"No checkpoint for stage '{stage}' under {workdir}"
+            )
         try:
             restored = ckpt.restore(like, _opt_template_with_ema(exp, like))
-        except Exception:
-            pass  # not an EMA checkpoint (or none) — re-raise as not-found
+        except Exception as e:
+            # a structure mismatch here means the checkpoint has no EMA
+            # element (trained without --ema-decay); keep the underlying
+            # error visible — a wrong preset / corrupt checkpoint raises
+            # the SAME way and 'retrain with --ema-decay' would mislead
+            raise FileNotFoundError(
+                f"Could not restore an EMA state for stage '{stage}' "
+                f"under {workdir}. Most likely the run was trained "
+                f"without --ema-decay; underlying error: "
+                f"{type(e).__name__}: {str(e)[:300]}"
+            ) from e
         ema = get_ema_params(restored[1]) if restored is not None else None
         if ema is None:
             raise FileNotFoundError(
@@ -177,12 +189,27 @@ def average_stage_params(exp: ExperimentConfig, stage: str, last_k: int):
                 f"checkpoint(s) (requested {last_k}) — averaging those",
                 file=sys.stderr, flush=True,
             )
+        # resolve the matching opt-state template ONCE on the first step
+        # (all retained steps share one structure) instead of paying a
+        # failed restore + template rebuild per step
+        opt_like = None
+
+        def _restore_step(s):
+            nonlocal opt_like
+            if opt_like is not None:
+                return ckpt.restore_params_at(s, like, opt_like)
+
+            def attempt(ol):
+                nonlocal opt_like
+                out = ckpt.restore_params_at(s, like, ol)
+                opt_like = ol
+                return out
+
+            return _restore_with_either_template(attempt, exp, like)
+
         acc = None
         for s in steps:
-            p = _restore_with_either_template(
-                lambda ol, s=s: ckpt.restore_params_at(s, like, ol),
-                exp, like,
-            )
+            p = _restore_step(s)
             p32 = jax.tree_util.tree_map(
                 lambda x: np.asarray(x, np.float32), p
             )

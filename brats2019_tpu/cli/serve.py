@@ -317,14 +317,15 @@ class Server:
             from .predict import _emit_probs_artifacts
 
             served = [d for d, e in zip(case_dirs, errs) if e is None]
-            try:
-                _emit_probs_artifacts(
-                    self.predictor, served, self.save_probs,
-                    self.save_uncertainty, output_dir=self.output_dir,
-                )
-            except Exception as e:  # noqa: BLE001 — QA is best-effort
-                print(f"serve: artifact pass failed: {e}",
-                      file=sys.stderr, flush=True)
+            for d in served:  # per-case: one failure must not starve the rest
+                try:
+                    _emit_probs_artifacts(
+                        self.predictor, [d], self.save_probs,
+                        self.save_uncertainty, output_dir=self.output_dir,
+                    )
+                except Exception as e:  # noqa: BLE001 — QA is best-effort
+                    print(f"serve: artifact pass failed for {d}: {e}",
+                          file=sys.stderr, flush=True)
         return outs
 
     def _predict_one_isolated(self, case_dir: str):

@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.jax_setup import setup_jax
 
+    if args.ema_decay is not None and not 0.0 < args.ema_decay < 1.0:
+        print(f"error: --ema-decay must be in (0, 1), got {args.ema_decay} "
+              "(1.0 would freeze the EMA at the random init; >1 diverges)",
+              file=sys.stderr)
+        return 2
     setup_jax(debug_nans=args.debug_nans)
     initialize_distributed()
     exp = resolve_experiment(args)

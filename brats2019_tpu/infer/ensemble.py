@@ -159,12 +159,14 @@ class EnsemblePredictor:
         on real multi-chip hosts."""
         devs = jax.local_devices()
         dev0 = self._p._default_dev
-        results = []
+        x_on = {dev0: canvas_img}  # one input broadcast per DEVICE, not
+        results = []               # per member (members can outnumber devices)
         for i in range(len(self._members)):
             dev = devs[i % len(devs)]
-            x = canvas_img if dev == dev0 else jax.device_put(canvas_img, dev)
+            if dev not in x_on:
+                x_on[dev] = jax.device_put(canvas_img, dev)
             pf, pc = self._member_on(i, dev)
-            results.append(self._p._fn.probs_fn(pf, pc, x))
+            results.append(self._p._fn.probs_fn(pf, pc, x_on[dev]))
         return self._reduce_results(results, dev0)
 
     def _reduce_results(self, results, dev):

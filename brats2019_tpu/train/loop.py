@@ -184,7 +184,37 @@ def train_stage(
         print(f"[{stage}] --debug-checks: pool sampling bounds OK", flush=True)
 
     start_step = 0
-    restored = ckpt.restore(params, opt_state)
+    try:
+        restored = ckpt.restore(params, opt_state)
+    except Exception:
+        # structure mismatch — most commonly a resume with --ema-decay
+        # flipped relative to the run that wrote the checkpoint. Restore
+        # with the FLIPPED optimizer-state structure and migrate (strip
+        # the EMA, or seed a fresh one from the restored params).
+        from .step import migrate_opt_state
+
+        alt_cfg = dataclasses.replace(
+            cfg, ema_decay=0.0 if cfg.ema_decay > 0 else 0.5
+        )
+        # replicate the template like init_stage does — freshly-init'd
+        # scalars (optimizer counts) otherwise sit on one device and the
+        # restored state inherits that placement
+        alt_opt = jax.device_put(
+            make_optimizer(alt_cfg).init(params), env.replicated()
+        )
+        restored = ckpt.restore(params, alt_opt)
+        if restored is not None:
+            p_, o_, s_, c_ = restored
+            o_ = jax.device_put(
+                migrate_opt_state(o_, opt_state, p_), env.replicated()
+            )
+            restored = (p_, o_, s_, c_)
+            print(
+                f"[{stage}] note: checkpoint optimizer state "
+                f"{'carried' if cfg.ema_decay <= 0 else 'lacked'} a weight "
+                f"EMA; migrated to match ema_decay={cfg.ema_decay}",
+                flush=True,
+            )
     if restored is not None:
         params, opt_state, start_step, cursor = restored
         pool.load_state(cursor)

@@ -46,7 +46,13 @@ def params_ema_tracker(decay: float) -> optax.GradientTransformation:
     ``opt_state`` means zero changes to the step signature, checkpoint
     layout handling, or resume — the EMA is saved/restored with the
     optimizer and costs one fused multiply-add per step. Initialized to
-    the initial params (standard warm init)."""
+    the initial params (standard warm init).
+
+    ``decay`` must be in (0, 1): 1.0 freezes the EMA at the random init
+    (export --ema would then silently ship untrained weights) and >1
+    diverges to inf while the live run looks healthy."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
 
     def init(params):
         # COPY, never alias: the train step donates params and opt_state
@@ -66,6 +72,30 @@ def params_ema_tracker(decay: float) -> optax.GradientTransformation:
         return updates, EmaState(ema=new_ema)
 
     return optax.GradientTransformation(init, update)
+
+
+def migrate_opt_state(restored, target_like, params):
+    """Adapt a restored optimizer state across the ema/no-ema structure
+    change so a run can RESUME with ``--ema-decay`` flipped: strip the
+    EmaState when the target chain lacks one; append a fresh
+    ``EmaState(params)`` (copied — never alias the donated params) when
+    the target has one and the checkpoint doesn't. Any other structure
+    difference is returned unchanged (and will fail loudly downstream)."""
+    has = lambda s: get_ema_params(s) is not None
+    if isinstance(restored, tuple) and isinstance(target_like, tuple):
+        if has(restored) and not has(target_like):
+            return tuple(
+                s for s in restored if not isinstance(s, EmaState)
+            )
+        if not has(restored) and has(target_like):
+            return tuple(restored) + (
+                EmaState(
+                    ema=jax.tree_util.tree_map(
+                        lambda x: jnp.array(x, copy=True), params
+                    )
+                ),
+            )
+    return restored
 
 
 def get_ema_params(opt_state):

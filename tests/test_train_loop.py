@@ -78,6 +78,41 @@ def test_train_checkpoint_resume(tmp_path, dataset):
     assert max(steps_logged) == 6
 
 
+def test_resume_across_ema_flag_flip(tmp_path, dataset):
+    """A checkpoint written WITHOUT --ema-decay must resume into a run
+    WITH it (fresh EMA seeded from the restored params) and vice versa
+    (EMA stripped) — not crash on the optimizer-state structure change."""
+    import jax
+
+    from brats2019_tpu.cli.common import ema_stage_params
+
+    exp = make_exp(tmp_path, steps=2)
+    res = train_stage(exp, dataset[:2], stage="fine", val_dirs=dataset[2:])
+    assert np.isfinite(res.final_metrics["loss"])
+
+    # resume WITH ema: migration seeds EMA from restored params
+    exp_ema = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, steps=4, ema_decay=0.9)
+    )
+    res2 = train_stage(exp_ema, dataset[:2], stage="fine",
+                       val_dirs=dataset[2:])
+    assert np.isfinite(res2.final_metrics["loss"])
+    # the EMA made it into the new checkpoints
+    ema = ema_stage_params(exp_ema, "fine")
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(ema)
+    )
+
+    # and back: resume WITHOUT ema strips the state
+    exp_off = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, steps=6)
+    )
+    res3 = train_stage(exp_off, dataset[:2], stage="fine",
+                       val_dirs=dataset[2:])
+    assert np.isfinite(res3.final_metrics["loss"])
+
+
 def test_best_export_with_nonaligned_eval_and_checkpoint(tmp_path, dataset):
     """Best-checkpoint selection keys on EVALS, not on eval/checkpoint step
     alignment: with eval_every=2 and checkpoint_every=3 (never aligned in a
