@@ -1,0 +1,305 @@
+"""HTTP front end for the serving daemon (``serve --http PORT``).
+
+The reference has no serving story (SURVEY.md C17 is a one-shot CLI);
+the watch-dir daemon (cli/serve.py) is this framework's production
+surface, and this module puts a network API on it. Endpoints:
+
+  GET  /healthz                    liveness: {status, done, uptime_s, ts}
+  GET  /stats                      served/failed counts + latency summary
+  GET  /result?case=NAME[&timeout=S]   completion record for one case
+  POST /predict?name=NAME[&timeout=S][&format=json]
+       body = tar (optionally gzipped) of the 4 modality NIfTIs
+       (Content-Type application/x-tar), or JSON {"case_dir": "/path"}
+       for co-located callers. Blocks until the daemon serves the case
+       and returns the predicted segmentation NIfTI bytes
+       (application/gzip) — or the completion record with &format=json.
+
+Design: HTTP threads NEVER touch the device. They only spool uploads
+into the daemon's watch root — the single device loop in ``Server.run``
+picks them up at poll cadence exactly like file-system arrivals — and
+block on ``Server.wait_result``. One compiled-program owner is
+preserved, as are pipelined batching, restart replay, quarantine/retry
+classification, and the JSONL completion log; the HTTP layer is purely
+additive. Binds 127.0.0.1 by default — put a reverse proxy in front for
+anything wider.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+# uploads larger than this are rejected outright (4 gzipped BraTS
+# modalities are ~5-60 MB; 1 GiB leaves room for uncompressed uploads)
+MAX_UPLOAD_BYTES = 1 << 30
+DEFAULT_WAIT_S = 600.0
+
+
+class HttpApiError(ValueError):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def _safe_case_name(name: str) -> str:
+    name = (name or "").strip()
+    if (
+        not name
+        or name != os.path.basename(name)
+        or name.startswith(".")
+        or "/" in name
+        or "\\" in name
+    ):
+        raise HttpApiError(400, f"invalid case name {name!r}")
+    return name
+
+
+def extract_case_tar(data: bytes, dest_dir: str) -> int:
+    """Safely extract an uploaded case archive: regular files only, each
+    FLATTENED to its basename inside ``dest_dir`` (no paths from the
+    archive ever touch the filesystem — traversal is structurally
+    impossible). Returns the number of files written."""
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:*")
+    except tarfile.TarError as e:
+        raise HttpApiError(400, f"unreadable tar archive: {e}")
+    n = 0
+    with tf:
+        for member in tf:
+            if not member.isreg():
+                continue  # dirs are implied; links/devices never extracted
+            base = os.path.basename(member.name.rstrip("/"))
+            if not base or base.startswith("."):
+                raise HttpApiError(
+                    400, f"archive member with unusable name: {member.name!r}"
+                )
+            src = tf.extractfile(member)
+            if src is None:
+                continue
+            os.makedirs(dest_dir, exist_ok=True)
+            with open(os.path.join(dest_dir, base), "wb") as out:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            n += 1
+    if n == 0:
+        raise HttpApiError(400, "archive contained no files")
+    return n
+
+
+def _latency_summary(records) -> dict:
+    per_case = sorted(
+        rec["batch_wall_s"] / max(rec.get("batch_size", 1), 1)
+        for rec in records
+        if rec.get("error") is None and "batch_wall_s" in rec
+    )
+    if not per_case:
+        return {}
+
+    def pct(p):
+        import math
+
+        idx = max(0, math.ceil(p * len(per_case)) - 1)  # nearest rank
+        return round(per_case[min(len(per_case) - 1, idx)], 3)
+
+    return {"p50_s": pct(0.5), "p95_s": pct(0.95), "n": len(per_case)}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # self.server is the _ApiServer below (.app = serve.Server instance)
+    protocol_version = "HTTP/1.1"
+
+    # ------------------------------------------------------------------ util
+
+    def _send_json(self, code: int, obj: dict) -> None:
+        body = (json.dumps(obj) + "\n").encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        if code >= 400:
+            # an errored request may have an unread body; never let the
+            # leftover bytes be parsed as the next keep-alive request
+            self.send_header("Connection", "close")
+            self.close_connection = True
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_file(self, path: str) -> None:
+        with open(path, "rb") as f:
+            data = f.read()
+        self.send_response(200)
+        ctype = ("application/gzip" if path.endswith(".gz")
+                 else "application/octet-stream")
+        self.send_header("Content-Type", ctype)
+        self.send_header(
+            "Content-Disposition",
+            f'attachment; filename="{os.path.basename(path)}"',
+        )
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # route through the daemon's stdout
+        print(f"serve-http: {self.address_string()} {fmt % args}", flush=True)
+
+    def _query(self):
+        u = urlparse(self.path)
+        return u.path, {k: v[-1] for k, v in parse_qs(u.query).items()}
+
+    # ----------------------------------------------------------------- GET
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        app = self.server.app
+        path, q = self._query()
+        try:
+            if path == "/healthz":
+                self._send_json(200, {
+                    "status": "stopping" if app.stopping else "ok",
+                    "done": len(app.done),
+                    "uptime_s": round(time.time() - app.started_ts, 1),
+                    "ts": time.time(),
+                })
+            elif path == "/stats":
+                with app.results_cv:
+                    records = list(app.results.values())
+                ok = sum(1 for r in records if r.get("error") is None)
+                self._send_json(200, {
+                    "served": ok,
+                    "quarantined": sum(
+                        1 for r in records
+                        if r.get("error_class") == "permanent"
+                    ),
+                    "deferred": sum(
+                        1 for r in records
+                        if r.get("error") is not None
+                        and r.get("error_class") != "permanent"
+                    ),
+                    "done_total": len(app.done),
+                    "latency": _latency_summary(records),
+                })
+            elif path == "/result":
+                name = _safe_case_name(q.get("case", ""))
+                rec = app.wait_result(name, float(q.get("timeout", 0.0)))
+                if rec is None:
+                    if name in app.done:
+                        # served/quarantined by a PREVIOUS daemon run —
+                        # the replayed done-set has no record payload
+                        self._send_json(200, {
+                            "case": name, "done": True,
+                            "note": "completed in a previous daemon run "
+                                    "(see serve_log.jsonl)",
+                        })
+                    else:
+                        self._send_json(404, {"error": f"no result for "
+                                                       f"{name!r}"})
+                else:
+                    self._send_json(200, rec)
+            else:
+                self._send_json(404, {"error": f"unknown path {path!r}"})
+        except HttpApiError as e:
+            self._send_json(e.code, {"error": str(e)})
+
+    # ---------------------------------------------------------------- POST
+
+    def do_POST(self):  # noqa: N802
+        app = self.server.app
+        path, q = self._query()
+        try:
+            if path != "/predict":
+                raise HttpApiError(404, f"unknown path {path!r}")
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                raise HttpApiError(411, "Content-Length required")
+            if length > MAX_UPLOAD_BYTES:
+                raise HttpApiError(413, "upload too large")
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+
+            if ctype == "application/json":
+                name = self._submit_json(app, body)
+            else:
+                name = self._submit_tar(app, body, q.get("name", ""))
+
+            timeout = float(q.get("timeout", DEFAULT_WAIT_S))
+            rec = app.wait_result(name, timeout)
+            if rec is None:
+                raise HttpApiError(
+                    504, f"case {name!r} not completed within {timeout}s "
+                         "(still queued — poll GET /result)"
+                )
+            if rec.get("error") is not None:
+                code = 422 if rec.get("error_class") == "permanent" else 503
+                raise HttpApiError(
+                    code, f"prediction failed ({rec.get('error_class')}): "
+                          f"{rec['error']}"
+                )
+            if q.get("format") == "json":
+                self._send_json(200, rec)
+            else:
+                self._send_file(rec["output"])
+        except HttpApiError as e:
+            self._send_json(e.code, {"error": str(e)})
+
+    def _submit_json(self, app, body: bytes) -> str:
+        """Co-located submission: {"case_dir": "/abs/path"} — symlinked
+        into the watch root so the daemon discovers it like any arrival."""
+        try:
+            req = json.loads(body)
+            case_dir = req["case_dir"]
+        except (ValueError, KeyError, TypeError):
+            raise HttpApiError(400, 'body must be {"case_dir": "/path"}')
+        case_dir = os.path.abspath(case_dir)
+        if not os.path.isdir(case_dir):
+            raise HttpApiError(400, f"not a directory: {case_dir}")
+        name = _safe_case_name(os.path.basename(os.path.normpath(case_dir)))
+        link = os.path.join(self.server.watch_root, name)
+        if os.path.realpath(link) != os.path.realpath(case_dir):
+            try:
+                os.symlink(case_dir, link)
+            except FileExistsError:
+                raise HttpApiError(
+                    409, f"a different case named {name!r} already exists"
+                )
+        return name
+
+    def _submit_tar(self, app, body: bytes, name: str) -> str:
+        name = _safe_case_name(name)
+        dest = os.path.join(self.server.watch_root, name)
+        if name in app.done or os.path.isdir(dest):
+            # idempotent: an already-known case is not re-extracted
+            return name
+        extract_case_tar(body, dest)
+        return name
+
+
+class _ApiServer(ThreadingHTTPServer):
+    daemon_threads = True
+    # request threads only spool files + wait; they must not inherit a
+    # huge backlog
+    request_queue_size = 16
+
+    def __init__(self, addr, app, watch_root):
+        self.app = app
+        self.watch_root = watch_root
+        super().__init__(addr, _Handler)
+
+
+def start_http(app, watch_root: str, port: int, host: str = "127.0.0.1"):
+    """Start the HTTP API on a daemon thread. Returns the HTTPServer
+    (use ``.server_address`` for the bound port, ``.shutdown()`` to
+    stop)."""
+    httpd = _ApiServer((host, port), app, watch_root)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True,
+                         name="serve-http")
+    t.start()
+    print(f"serve: HTTP API on http://{host}:{httpd.server_address[1]} "
+          "(endpoints: /healthz /stats /result /predict)", flush=True)
+    return httpd

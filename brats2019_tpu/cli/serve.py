@@ -27,6 +27,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 from ..configs.presets import PRESETS
@@ -136,6 +137,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "<case>_unc_{whole,core,enhance}.nii.gz per "
                         "served case (shares the --save-probs device "
                         "pass when both are on)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="also expose an HTTP API (GET /healthz /stats "
+                        "/result, POST /predict with a case tarball or a "
+                        "co-located {'case_dir': ...} JSON) — uploads "
+                        "spool into the watch root; device work stays in "
+                        "the daemon loop (cli/http_api.py)")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="HTTP bind address (default loopback; front with "
+                        "a reverse proxy for anything wider)")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -210,6 +220,12 @@ class Server:
                 os.makedirs(d, exist_ok=True)
         self.done = self._load_done()
         self._stop = False
+        # completion records of THIS process, for the HTTP API
+        # (cli/http_api.py): case name -> latest JSONL record. Guarded by
+        # results_cv; wait_result blocks HTTP threads on it
+        self.started_ts = time.time()
+        self.results: dict = {}
+        self.results_cv = threading.Condition()
 
     def _load_done(self) -> set:
         """Replay the completion log so a restarted daemon skips served and
@@ -294,6 +310,7 @@ class Server:
                 )
             records.append(rec)
         self._log(records)
+        self._publish(records)
         # served and permanently-quarantined cases are done; a case whose
         # failure outlived the in-process retries but classified TRANSIENT
         # must stay retryable by THIS daemon (the next scan re-picks it at
@@ -372,6 +389,37 @@ class Server:
                     continue
                 return None, err
         return None, err
+
+    def _publish(self, records) -> None:
+        """Make completion records visible to HTTP waiters."""
+        with self.results_cv:
+            for rec in records:
+                self.results[rec["case"]] = rec
+            self.results_cv.notify_all()
+
+    def wait_result(self, case: str, timeout: float):
+        """Block until ``case`` has a FINAL record — success or permanent
+        quarantine; a transient-deferred record is not final (the daemon
+        retries the case at poll cadence). On timeout (or daemon stop)
+        returns the latest record if any — possibly transient, the caller
+        distinguishes via error_class — else None."""
+
+        def final(rec):
+            return rec is not None and (
+                rec.get("error") is None
+                or rec.get("error_class") == "permanent"
+            )
+
+        deadline = time.time() + max(timeout, 0.0)
+        with self.results_cv:
+            while True:
+                rec = self.results.get(case)
+                if final(rec):
+                    return rec
+                remaining = deadline - time.time()
+                if remaining <= 0 or self._stop:
+                    return rec
+                self.results_cv.wait(min(remaining, 1.0))
 
     def scan(self, watch_root: str, sizes: dict) -> list:
         return [
@@ -454,7 +502,17 @@ def main(argv=None) -> int:
         return 2
     signal.signal(signal.SIGTERM, server.request_stop)
     signal.signal(signal.SIGINT, server.request_stop)
-    return server.run(args.watch_root, args.poll, args.once)
+    httpd = None
+    if args.http is not None:
+        from .http_api import start_http
+
+        httpd = start_http(server, args.watch_root, args.http,
+                           args.http_host)
+    try:
+        return server.run(args.watch_root, args.poll, args.once)
+    finally:
+        if httpd is not None:
+            httpd.shutdown()
 
 
 if __name__ == "__main__":

@@ -241,10 +241,15 @@ def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
 
 
 def _bare_server(retries=1):
+    import threading
+
     s = object.__new__(cli_serve.Server)
     s.output_dir = None
     s.retries = retries
     s.retry_backoff = 0.0
+    s.results = {}
+    s.results_cv = threading.Condition()
+    s.started_ts = 0.0
     return s
 
 
