@@ -21,7 +21,8 @@ def resolve_experiment(args) -> ExperimentConfig:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, steps=args.steps)
         )
-    for flag in ("checkpoint_every", "eval_every", "log_every", "ema_decay"):
+    for flag in ("checkpoint_every", "eval_every", "log_every", "ema_decay",
+                 "prep_cache_dir"):
         v = getattr(args, flag, None)
         if v is not None:
             exp = dataclasses.replace(

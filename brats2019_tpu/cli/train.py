@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track an exponential moving average of the "
                         "weights (e.g. 0.999) inside the optimizer state; "
                         "export it with `export --ema`")
+    p.add_argument("--prep-cache", dest="prep_cache_dir", default=None,
+                   metavar="DIR",
+                   help="on-disk cache of prepped cases: skips gzip "
+                        "decode + z-score + bbox when the pool revisits a "
+                        "case (entries keyed by input mtime/size + prep "
+                        "params; ~1 canvas-sized npz per case)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
     p.add_argument("--debug-checks", action="store_true",

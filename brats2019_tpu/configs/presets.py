@@ -48,6 +48,11 @@ class TrainConfig:
     intensity_scale: float = 0.1
     intensity_shift: float = 0.1
     pool_refresh_every: int = 8      # steps between pool slot swaps
+    # on-disk cache of prepped cases (z-scored bf16 canvas + labels + fg
+    # table) keyed by input signature + prep params — skips gzip inflate /
+    # z-score / bbox on every pool-refresh revisit (data/pipeline.py
+    # cached_prepare_training_case). None = off; CLI: train --prep-cache DIR
+    prep_cache_dir: Optional[str] = None
     # stage-1 (coarse) trains on 2x-downsampled volumes
     train_downsample: int = 1
     # optimization

@@ -21,6 +21,7 @@ the training checkpoint (SURVEY.md §5 "loader position").
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import sys
 import threading
@@ -33,11 +34,17 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import ml_dtypes
 
 from ..parallel.mesh import DATA_AXIS, MeshEnv
-from .case import Case, load_case
+from .case import Case, load_case, modality_paths, seg_path
 from .preprocess import brain_bbox_fast_np, crop_np, zscore_np
 from .sampling import FG_TABLE_SIZE, build_fg_table_np
 
 BF16 = np.dtype(ml_dtypes.bfloat16)
+
+# bump when prepare_training_case's output semantics change — stale cache
+# entries (older version, different canvas/downsample, touched inputs) are
+# never read because the version + prep params + input file signature are
+# all part of the cache filename
+PREP_CACHE_VERSION = 1
 
 
 def fit_to_canvas(vol: np.ndarray, canvas: Tuple[int, int, int], fill=0) -> np.ndarray:
@@ -93,6 +100,81 @@ def prepare_training_case(
         "seg": seg,
         "fg": build_fg_table_np(seg, FG_TABLE_SIZE),
     }
+
+
+def _prep_cache_path(
+    cache_dir: str, case_dir: str, canvas, downsample: int
+) -> str:
+    """Cache filename keyed by everything that determines the prep output:
+    version, canvas, downsample, and an (mtime,size) signature of every
+    input file — editing or re-uploading a case invalidates its entry."""
+    import hashlib
+
+    paths = list(modality_paths(case_dir))
+    sp = seg_path(case_dir)
+    if sp:
+        paths.append(sp)
+    sig = "|".join(
+        f"{os.path.basename(p)}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
+        for p in paths
+    )
+    h = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    base = os.path.basename(os.path.normpath(case_dir))
+    c = "x".join(map(str, canvas))
+    return os.path.join(
+        cache_dir,
+        f"{base}.v{PREP_CACHE_VERSION}.c{c}.d{downsample}.{h}.npz",
+    )
+
+
+def cached_prepare_training_case(
+    case_dir: str, canvas, downsample: int = 1,
+    cache_dir: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """prepare_training_case with an optional on-disk cache of the prepped
+    arrays (z-scored bf16 canvas + labels + fg table). Skips the dominant
+    host work of a pool refresh — gzip inflate, z-score, bbox scan — on the
+    1-core serving/training host; one cache entry is ~(canvas bytes) and
+    loads as a single uncompressed npz read. bf16 has no stable npz
+    encoding, so the image is stored as its uint16 bit pattern."""
+    if not cache_dir:
+        return prepare_training_case(
+            load_case(case_dir), canvas, downsample=downsample
+        )
+    path = _prep_cache_path(cache_dir, case_dir, canvas, downsample)
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                return {
+                    "image": z["image_u16"].view(BF16),
+                    "seg": z["seg"],
+                    "fg": z["fg"],
+                }
+        except Exception as e:  # noqa: BLE001 — corrupt entry: rebuild
+            print(f"[pool] discarding corrupt cache entry {path}: {e}",
+                  file=sys.stderr, flush=True)
+    out = prepare_training_case(
+        load_case(case_dir), canvas, downsample=downsample
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        # uncompressed npz: the point is to beat gzip-decode time, and the
+        # write is atomic (rename) so concurrent hosts sharing a cache dir
+        # never read a torn entry. savez gets a FILE OBJECT so it cannot
+        # append its own .npz suffix to the tmp name
+        with open(tmp, "wb") as f:
+            np.savez(f, image_u16=np.asarray(out["image"]).view(np.uint16),
+                     seg=out["seg"], fg=out["fg"])
+        os.replace(tmp, path)
+    except OSError as e:
+        print(f"[pool] prep-cache write failed ({e}); continuing uncached",
+              file=sys.stderr, flush=True)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    return out
 
 
 @dataclasses.dataclass
@@ -159,6 +241,7 @@ class CasePool:
         downsample: int = 1,
         seed: int = 0,
         prefetch: int = 2,
+        prep_cache_dir: Optional[str] = None,
     ):
         if not case_dirs:
             raise ValueError("CasePool needs at least one case")
@@ -166,6 +249,7 @@ class CasePool:
         self.env = env
         self.canvas = tuple(canvas)
         self.downsample = downsample
+        self.prep_cache_dir = prep_cache_dir
         all_devices = list(env.mesh.devices.reshape(-1))
         # each process feeds only its addressable devices (multi-host safe)
         self.devices = [
@@ -197,8 +281,9 @@ class CasePool:
     # -- host side ---------------------------------------------------------
     def _load_next(self) -> Dict[str, np.ndarray]:
         d = self.case_dirs[self.cursor.next_index()]
-        return prepare_training_case(
-            load_case(d), self.canvas, downsample=self.downsample
+        return cached_prepare_training_case(
+            d, self.canvas, downsample=self.downsample,
+            cache_dir=self.prep_cache_dir,
         )
 
     def _build_initial(self) -> None:
@@ -278,8 +363,9 @@ class CasePool:
         while not self._stop.is_set():
             d = self.case_dirs[self.cursor.next_index()]
             try:
-                c = prepare_training_case(
-                    load_case(d), self.canvas, downsample=self.downsample
+                c = cached_prepare_training_case(
+                    d, self.canvas, downsample=self.downsample,
+                    cache_dir=self.prep_cache_dir,
                 )
                 consecutive = 0
             except Exception as e:  # noqa: BLE001 — report + skip below

@@ -178,6 +178,7 @@ def train_stage(
         cases_per_device=cfg.pool_cases_per_device,
         downsample=downsample,
         seed=cfg.seed,
+        prep_cache_dir=cfg.prep_cache_dir,
     )
     if cfg.debug_checks:
         _validate_pool_sampling(pool, cfg)
