@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import shutil
 import tarfile
 import threading
 import time
@@ -36,8 +37,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 # uploads larger than this are rejected outright (4 gzipped BraTS
-# modalities are ~5-60 MB; 1 GiB leaves room for uncompressed uploads)
-MAX_UPLOAD_BYTES = 1 << 30
+# modalities are ~5-60 MB; 256 MiB covers uncompressed uploads with
+# margin while bounding the per-request-thread memory on a small host)
+MAX_UPLOAD_BYTES = 256 << 20
+# cap on the EXTRACTED bytes of one upload — the compressed-body cap
+# alone would let a small gzipped tar bomb fill the watch-root disk
+MAX_EXTRACT_BYTES = 2 << 30
 DEFAULT_WAIT_S = 600.0
 
 
@@ -64,34 +69,56 @@ def extract_case_tar(data: bytes, dest_dir: str) -> int:
     """Safely extract an uploaded case archive: regular files only, each
     FLATTENED to its basename inside ``dest_dir`` (no paths from the
     archive ever touch the filesystem — traversal is structurally
-    impossible). Returns the number of files written."""
+    impossible), total extracted bytes bounded by MAX_EXTRACT_BYTES (a
+    small gzipped bomb must not fill the watch-root disk). On ANY failure
+    the partially-written ``dest_dir`` is removed — a half-extracted dir
+    left behind would block corrected re-uploads of the same case forever.
+    Returns the number of files written."""
     try:
         tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:*")
     except tarfile.TarError as e:
         raise HttpApiError(400, f"unreadable tar archive: {e}")
     n = 0
-    with tf:
-        for member in tf:
-            if not member.isreg():
-                continue  # dirs are implied; links/devices never extracted
-            base = os.path.basename(member.name.rstrip("/"))
-            if not base or base.startswith("."):
-                raise HttpApiError(
-                    400, f"archive member with unusable name: {member.name!r}"
-                )
-            src = tf.extractfile(member)
-            if src is None:
-                continue
-            os.makedirs(dest_dir, exist_ok=True)
-            with open(os.path.join(dest_dir, base), "wb") as out:
-                while True:
-                    chunk = src.read(1 << 20)
-                    if not chunk:
-                        break
-                    out.write(chunk)
-            n += 1
-    if n == 0:
-        raise HttpApiError(400, "archive contained no files")
+    total = 0
+    try:
+        with tf:
+            for member in tf:
+                if not member.isreg():
+                    continue  # dirs implied; links/devices never extracted
+                base = os.path.basename(member.name.rstrip("/"))
+                if not base or base.startswith("."):
+                    raise HttpApiError(
+                        400,
+                        f"archive member with unusable name: {member.name!r}",
+                    )
+                src = tf.extractfile(member)
+                if src is None:
+                    continue
+                os.makedirs(dest_dir, exist_ok=True)
+                with open(os.path.join(dest_dir, base), "wb") as out:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+                        if total > MAX_EXTRACT_BYTES:
+                            raise HttpApiError(
+                                413, "archive expands past the "
+                                     f"{MAX_EXTRACT_BYTES >> 20} MiB limit"
+                            )
+                        out.write(chunk)
+                n += 1
+        if n == 0:
+            raise HttpApiError(400, "archive contained no files")
+    except HttpApiError:
+        shutil.rmtree(dest_dir, ignore_errors=True)
+        raise
+    except tarfile.TarError as e:
+        shutil.rmtree(dest_dir, ignore_errors=True)
+        raise HttpApiError(400, f"corrupt archive: {e}")
+    except OSError as e:
+        shutil.rmtree(dest_dir, ignore_errors=True)
+        raise HttpApiError(507, f"extraction write failed: {e}")
     return n
 
 
@@ -154,6 +181,16 @@ class _Handler(BaseHTTPRequestHandler):
         u = urlparse(self.path)
         return u.path, {k: v[-1] for k, v in parse_qs(u.query).items()}
 
+    @staticmethod
+    def _float_param(q, key, default):
+        """Query floats must 400 on garbage, not drop the connection with
+        an uncaught ValueError."""
+        try:
+            return float(q.get(key, default))
+        except (TypeError, ValueError):
+            raise HttpApiError(400, f"query param {key!r} must be a number, "
+                                    f"got {q.get(key)!r}")
+
     # ----------------------------------------------------------------- GET
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
@@ -187,7 +224,8 @@ class _Handler(BaseHTTPRequestHandler):
                 })
             elif path == "/result":
                 name = _safe_case_name(q.get("case", ""))
-                rec = app.wait_result(name, float(q.get("timeout", 0.0)))
+                rec = app.wait_result(name,
+                                      self._float_param(q, "timeout", 0.0))
                 if rec is None:
                     if name in app.done:
                         # served/quarantined by a PREVIOUS daemon run —
@@ -215,11 +253,15 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if path != "/predict":
                 raise HttpApiError(404, f"unknown path {path!r}")
-            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                raise HttpApiError(400, "malformed Content-Length")
             if length <= 0:
                 raise HttpApiError(411, "Content-Length required")
             if length > MAX_UPLOAD_BYTES:
                 raise HttpApiError(413, "upload too large")
+            timeout = self._float_param(q, "timeout", DEFAULT_WAIT_S)
             body = self.rfile.read(length)
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
 
@@ -228,7 +270,16 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 name = self._submit_tar(app, body, q.get("name", ""))
 
-            timeout = float(q.get("timeout", DEFAULT_WAIT_S))
+            if name in app.done and name not in app.results:
+                # completed by a PREVIOUS daemon run (restart replay):
+                # scan() will never reprocess it, so waiting would block
+                # the full timeout and 504 forever
+                self._send_json(200, {
+                    "case": name, "done": True,
+                    "note": "completed in a previous daemon run "
+                            "(see serve_log.jsonl)",
+                })
+                return
             rec = app.wait_result(name, timeout)
             if rec is None:
                 raise HttpApiError(
@@ -265,9 +316,14 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 os.symlink(case_dir, link)
             except FileExistsError:
-                raise HttpApiError(
-                    409, f"a different case named {name!r} already exists"
-                )
+                # concurrent submission of the SAME case_dir races here
+                # (realpath of a missing link is the link path itself) —
+                # only a genuinely different target is a conflict
+                if os.path.realpath(link) != os.path.realpath(case_dir):
+                    raise HttpApiError(
+                        409,
+                        f"a different case named {name!r} already exists",
+                    )
         return name
 
     def _submit_tar(self, app, body: bytes, name: str) -> str:
@@ -275,8 +331,22 @@ class _Handler(BaseHTTPRequestHandler):
         dest = os.path.join(self.server.watch_root, name)
         if name in app.done or os.path.isdir(dest):
             # idempotent: an already-known case is not re-extracted
+            # (failed extractions/validations below never leave a dir)
             return name
         extract_case_tar(body, dest)
+        # validate NOW that the archive actually forms a case for `name`
+        # (modality files are keyed <dirname>_<mod>.nii[.gz]) — otherwise
+        # the daemon would never see it ready and the client would block
+        # its whole timeout for a 504
+        from ..data.case import modality_paths
+
+        try:
+            modality_paths(dest)
+        except FileNotFoundError as e:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise HttpApiError(
+                400, f"archive is not a complete case for {name!r}: {e}"
+            )
         return name
 
 

@@ -115,7 +115,9 @@ def _prep_cache_path(
     if sp:
         paths.append(sp)
     sig = "|".join(
-        f"{os.path.basename(p)}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
+        # st_mtime_ns, not whole seconds: a case rewritten within the same
+        # second with unchanged sizes must still invalidate its entry
+        f"{os.path.basename(p)}:{os.stat(p).st_mtime_ns}:{os.path.getsize(p)}"
         for p in paths
     )
     h = hashlib.sha1(sig.encode()).hexdigest()[:16]

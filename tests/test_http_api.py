@@ -79,6 +79,33 @@ def test_extract_case_tar_rejects_garbage_and_empty(tmp_path):
     assert os.listdir(tmp_path / "z") == ["real.nii.gz"]
 
 
+def test_failed_extraction_cleans_up_and_reupload_succeeds(tmp_path):
+    """A partially-extracted archive must not leave a dir behind (it would
+    make the idempotence check wedge every corrected re-upload)."""
+    dest = str(tmp_path / "case")
+    bad = _tar_bytes([
+        ("a_t1.nii.gz", b"AAA"),
+        (".hidden", b"BAD"),  # unusable name AFTER a file was written
+    ])
+    with pytest.raises(http_api.HttpApiError):
+        http_api.extract_case_tar(bad, dest)
+    assert not os.path.exists(dest)
+    good = _tar_bytes([("a_t1.nii.gz", b"AAA")])
+    assert http_api.extract_case_tar(good, dest) == 1
+
+
+def test_extraction_bomb_cap(tmp_path, monkeypatch):
+    """Total EXTRACTED bytes are bounded (compressed-size cap alone would
+    let a small gzipped bomb fill the watch-root disk)."""
+    monkeypatch.setattr(http_api, "MAX_EXTRACT_BYTES", 4096)
+    bomb = _tar_bytes([("big_t1.nii.gz", b"\x00" * 100_000)])
+    dest = str(tmp_path / "case")
+    with pytest.raises(http_api.HttpApiError) as ei:
+        http_api.extract_case_tar(bomb, dest)
+    assert ei.value.code == 413
+    assert not os.path.exists(dest)
+
+
 def test_wait_result_finality():
     """Transient records are NOT final (the daemon retries); success and
     permanent quarantine are."""
@@ -236,6 +263,24 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(f"{base}/nope")
         assert ei.value.code == 404
+
+        # 4b) malformed numeric params are a 400, not a dropped connection
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/result?case=BraTS19_SYN_000_1&timeout=abc")
+        assert ei.value.code == 400
+        # 4c) an archive whose files do not form a case for `name` is
+        # rejected immediately (not a hang-until-504) and leaves no dir
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/predict?name=WRONGNAME&timeout=60",
+                  _case_tarball(case2), "application/x-tar")
+        assert ei.value.code == 400
+        assert not os.path.exists(watch / "WRONGNAME")
+        # 4d) a case done in a PREVIOUS daemon run (restart replay, no
+        # in-process record) answers immediately instead of timing out
+        server.done.add("OLDCASE")
+        st, body = _post(f"{base}/predict?name=OLDCASE&timeout=60",
+                         _case_tarball(case2), "application/x-tar")
+        assert st == 200 and json.loads(body)["done"] is True
 
         # 5) a corrupt upload is quarantined -> 422 with the error class
         bad = _tar_bytes([
