@@ -38,6 +38,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "retained step checkpoints (SWA-style checkpoint "
                         "averaging: one averaged model, one serving-time "
                         "forward pass) instead of the best/latest params")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="ALSO export the predict program as serialized "
+                        "StableHLO modules (+ manifest.json) under "
+                        "<workdir>/stablehlo/ — a weight-agnostic "
+                        "deployment artifact any PJRT runtime can "
+                        "deserialize without this package "
+                        "(infer/export_hlo.py)")
+    p.add_argument("--stablehlo-check", action="store_true",
+                   help="after --stablehlo, deserialize the modules and "
+                        "assert exact label equality with the live "
+                        "program on a synthetic canvas (costs a compile)")
     p.add_argument("--ema", action="store_true",
                    help="export the weight EMA recorded by a "
                         "`train --ema-decay` run (rides in the optimizer "
@@ -94,6 +105,30 @@ def main(argv=None) -> int:
         os.makedirs(os.path.dirname(out), exist_ok=True)
         export_params(out, params)
         print(f"[export] {stage} -> {out}", flush=True)
+    if args.stablehlo and rc == 0:
+        from ..infer.export_hlo import export_predict_stablehlo
+        from ..infer.predictor import Predictor
+
+        pf = load_stage_params(exp, "fine")
+        pc = None
+        if exp.infer.cascade and exp.coarse_unet is not None:
+            try:
+                pc = load_stage_params(exp, "coarse")
+            except FileNotFoundError:
+                import dataclasses
+
+                print("export: no coarse checkpoint; exporting the "
+                      "no-cascade program", file=sys.stderr)
+                exp = dataclasses.replace(
+                    exp, infer=dataclasses.replace(exp.infer, cascade=False)
+                )
+        written = export_predict_stablehlo(
+            Predictor(exp, pf, pc),
+            os.path.join(exp.workdir, "stablehlo"),
+            check=args.stablehlo_check,
+        )
+        for w in written:
+            print(f"[export] stablehlo -> {w}", flush=True)
     return rc
 
 
