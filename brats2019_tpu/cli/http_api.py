@@ -140,6 +140,57 @@ def _latency_summary(records) -> dict:
     return {"p50_s": pct(0.5), "p95_s": pct(0.95), "n": len(per_case)}
 
 
+def _stats_dict(app) -> dict:
+    with app.results_cv:
+        records = list(app.results.values())
+    return {
+        "served": sum(1 for r in records if r.get("error") is None),
+        "quarantined": sum(
+            1 for r in records if r.get("error_class") == "permanent"
+        ),
+        "deferred": sum(
+            1 for r in records
+            if r.get("error") is not None
+            and r.get("error_class") != "permanent"
+        ),
+        "done_total": len(app.done),
+        "latency": _latency_summary(records),
+    }
+
+
+def _prometheus_text(app) -> str:
+    """Prometheus exposition format of the serving counters — scrapeable
+    by any standard monitoring stack, no client library needed."""
+    s = _stats_dict(app)
+    lines = [
+        "# HELP brats_served_total cases served successfully this process",
+        "# TYPE brats_served_total counter",
+        f"brats_served_total {s['served']}",
+        "# HELP brats_quarantined_total cases permanently quarantined",
+        "# TYPE brats_quarantined_total counter",
+        f"brats_quarantined_total {s['quarantined']}",
+        "# HELP brats_deferred_total transient failures awaiting retry",
+        "# TYPE brats_deferred_total gauge",
+        f"brats_deferred_total {s['deferred']}",
+        "# HELP brats_done_total done-set size incl. replayed prior runs",
+        "# TYPE brats_done_total gauge",
+        f"brats_done_total {s['done_total']}",
+        "# HELP brats_uptime_seconds daemon uptime",
+        "# TYPE brats_uptime_seconds gauge",
+        f"brats_uptime_seconds {time.time() - app.started_ts:.1f}",
+    ]
+    lat = s["latency"]
+    if lat:
+        lines += [
+            "# HELP brats_case_latency_seconds per-case serve latency",
+            "# TYPE brats_case_latency_seconds summary",
+            f'brats_case_latency_seconds{{quantile="0.5"}} {lat["p50_s"]}',
+            f'brats_case_latency_seconds{{quantile="0.95"}} {lat["p95_s"]}',
+            f"brats_case_latency_seconds_count {lat['n']}",
+        ]
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     # self.server is the _ApiServer below (.app = serve.Server instance)
     protocol_version = "HTTP/1.1"
@@ -205,23 +256,15 @@ class _Handler(BaseHTTPRequestHandler):
                     "ts": time.time(),
                 })
             elif path == "/stats":
-                with app.results_cv:
-                    records = list(app.results.values())
-                ok = sum(1 for r in records if r.get("error") is None)
-                self._send_json(200, {
-                    "served": ok,
-                    "quarantined": sum(
-                        1 for r in records
-                        if r.get("error_class") == "permanent"
-                    ),
-                    "deferred": sum(
-                        1 for r in records
-                        if r.get("error") is not None
-                        and r.get("error_class") != "permanent"
-                    ),
-                    "done_total": len(app.done),
-                    "latency": _latency_summary(records),
-                })
+                self._send_json(200, _stats_dict(app))
+            elif path == "/metrics":
+                body = _prometheus_text(app).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif path == "/result":
                 name = _safe_case_name(q.get("case", ""))
                 rec = app.wait_result(name,

@@ -246,6 +246,11 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
         assert st == 200 and stats["served"] == 2
         assert stats["quarantined"] == 0
         assert stats["latency"]["n"] == 2
+        # Prometheus exposition mirrors the same counters
+        st, body = _get(f"{base}/metrics")
+        text = body.decode()
+        assert st == 200 and "brats_served_total 2" in text
+        assert 'brats_case_latency_seconds{quantile="0.5"}' in text
 
         # 4) error taxonomy over HTTP
         with pytest.raises(urllib.error.HTTPError) as ei:
