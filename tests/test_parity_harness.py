@@ -62,6 +62,34 @@ def test_parity_harness_end_to_end(tmp_path, monkeypatch):
         assert "dice" in entry and "exact_agreement" in entry
 
 
+@pytest.mark.slow
+def test_parity_harness_with_torch_checkpoint(tmp_path, monkeypatch):
+    """--torch-checkpoint: the sweep runs with reference torch weights
+    imported on the fly — no trained workdir needed at all."""
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_golden_parity import TorchMirror
+
+    from brats2019_tpu.configs.presets import get_preset
+    from brats2019_tpu.data.synthetic import write_dataset
+
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "data")
+    write_dataset(data, 1, shape=(32, 32, 32))
+    torch.manual_seed(3)
+    ckpt = str(tmp_path / "ref.pt")
+    torch.save(TorchMirror(get_preset("unit").unet).state_dict(), ckpt)
+
+    out = str(tmp_path / "parity.json")
+    rc = parity_harness.main([
+        data, "--preset", "unit", "--torch-checkpoint", ckpt, "--out", out,
+    ])
+    assert rc == 0
+    verdict = json.load(open(out))
+    assert verdict["n_cases"] == 1 and "mean_dice" in verdict
+
+
 def test_find_reference_mask(tmp_path):
     open(tmp_path / "CASE_A_pred.nii.gz", "w").close()
     open(tmp_path / "CASE_B.nii", "w").close()

@@ -6,6 +6,9 @@ run THIS to settle the parity claims that are unmeasurable on this machine
 
     python tools/parity_harness.py <brats_root> --workdir <ckpt_workdir> \
         [--preset cascade] [--reference-masks <dir>] [--out parity.json]
+    # or with the reference repo's own trained torch weights:
+    python tools/parity_harness.py <brats_root> --preset reference_parity \
+        --torch-checkpoint <ref_ckpt.pt> [--reference-masks <dir>]
 
 It (1) predicts every case under <brats_root>, (2) scores Dice WT/TC/ET
 against ground-truth ``*_seg`` labels where present, (3) if a directory of
@@ -55,6 +58,14 @@ def main(argv=None) -> int:
         default=None,
         help="dir of reference-produced segmentation NIfTIs for exact-agreement",
     )
+    p.add_argument(
+        "--torch-checkpoint",
+        default=None,
+        help="run the sweep with REFERENCE torch weights imported on the "
+             "fly (utils/torch_import.py) instead of a trained workdir — "
+             "the definitive reference-weights -> this-engine parity check "
+             "(requires a plain-stem preset, e.g. reference_parity)",
+    )
     p.add_argument("--out", default="parity.json")
     args = p.parse_args(argv)
 
@@ -78,7 +89,31 @@ def main(argv=None) -> int:
         print(f"error: no cases under {args.root}", file=sys.stderr)
         return 2
 
-    params_fine = load_stage_params(exp, "fine")
+    if args.torch_checkpoint:
+        from brats2019_tpu.cli.common import _stage_param_template
+        from brats2019_tpu.utils.torch_import import (
+            import_torch_params,
+            load_torch_state,
+        )
+
+        if exp.unet.stem_downsample != 1:
+            print(
+                f"error: preset {exp.name!r} uses the s2d stem; import "
+                "reference weights into a plain-stem preset "
+                "(--preset reference_parity)",
+                file=sys.stderr,
+            )
+            return 2
+        params_fine, notes = import_torch_params(
+            load_torch_state(args.torch_checkpoint),
+            _stage_param_template(exp, "fine"),
+        )
+        for n in notes:
+            print(f"[parity] import note: {n}", file=sys.stderr)
+        print(f"[parity] fine stage = imported torch weights "
+              f"({args.torch_checkpoint})", flush=True)
+    else:
+        params_fine = load_stage_params(exp, "fine")
     params_coarse = None
     if exp.infer.cascade and exp.coarse_unet is not None:
         try:
