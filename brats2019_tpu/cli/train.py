@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track an exponential moving average of the "
                         "weights (e.g. 0.999) inside the optimizer state; "
                         "export it with `export --ema`")
+    p.add_argument("--init-from", default=None, metavar="PATH",
+                   help="warm-start the trained stage's params from an "
+                        "exported params.{npz,safetensors} or a reference "
+                        "torch checkpoint (.pt/.pth, imported via "
+                        "utils/torch_import) — fine-tune migrated weights. "
+                        "Fresh optimizer state; an existing resumable "
+                        "checkpoint wins. Requires an explicit --stage "
+                        "fine|coarse (one file cannot seed both stages)")
     p.add_argument("--prep-cache", dest="prep_cache_dir", default=None,
                    metavar="DIR",
                    help="on-disk cache of prepped cases: skips gzip "
@@ -144,6 +152,11 @@ def main(argv=None) -> int:
         stages.append("coarse")
     if args.stage in ("all", "fine"):
         stages.append("fine")
+    if args.init_from and len(stages) != 1:
+        print("error: --init-from requires an explicit --stage "
+              "fine|coarse (one weights file cannot seed both cascade "
+              "stages)", file=sys.stderr)
+        return 2
     from ..parallel.mesh import make_mesh
 
     env = make_mesh()
@@ -153,6 +166,7 @@ def main(argv=None) -> int:
             profile=args.profile,
             kd_teachers=kd_teachers if stage == "fine" else None,
             kd_config=kd_config,
+            init_from=args.init_from,
         )
         print(f"[train] stage {stage} done: {res.final_metrics}", flush=True)
     return 0

@@ -54,6 +54,22 @@ def init_stage(
     return model, params, opt_state
 
 
+def _load_init_params(path: str, params_like):
+    """Warm-start source by extension: exported flat params (npz /
+    safetensors) or a reference torch state dict (pt/pth). Shapes are
+    validated against the stage template either way."""
+    if path.endswith((".pt", ".pth")):
+        from ..utils.torch_import import import_torch_params, load_torch_state
+
+        loaded, notes = import_torch_params(load_torch_state(path), params_like)
+        for n in notes:
+            print(f"[init-from] note: {n}", flush=True)
+        return loaded
+    from .checkpoint import import_params
+
+    return import_params(path, params_like)
+
+
 def _validate(
     eval_step,
     params,
@@ -113,8 +129,17 @@ def train_stage(
     profile: bool = False,
     kd_teachers=None,  # [(apply_fn, params), ...] -> distillation (C18)
     kd_config=None,
+    init_from: Optional[str] = None,
 ) -> StageResult:
-    """Train one stage to completion (or resume+continue); returns params."""
+    """Train one stage to completion (or resume+continue); returns params.
+
+    ``init_from``: warm-start the stage's params from a file — an exported
+    ``params.{npz,safetensors}`` (train/checkpoint.py) or a reference
+    torch checkpoint ``.pt/.pth`` (utils/torch_import.py) — the
+    fine-tune-imported-weights migration path. Fresh optimizer state,
+    step 0. A resumable checkpoint in the workdir ALWAYS wins over
+    init_from: restarts of a warm-started run must continue it, not
+    reset it."""
     env = env or make_mesh()
     cfg = exp.train
     unet_cfg = exp.unet if stage == "fine" else exp.coarse_unet
@@ -220,6 +245,18 @@ def train_stage(
         params, opt_state, start_step, cursor = restored
         pool.load_state(cursor)
         print(f"[{stage}] resumed from step {start_step}", flush=True)
+        if init_from:
+            print(
+                f"[{stage}] note: --init-from {init_from} IGNORED — a "
+                "resumable checkpoint exists and continuing it wins",
+                flush=True,
+            )
+    elif init_from:
+        params = jax.device_put(
+            _load_init_params(init_from, params), env.replicated()
+        )
+        print(f"[{stage}] warm-started params from {init_from} "
+              "(fresh optimizer state, step 0)", flush=True)
 
     # validation canvases prepared once, cached on host
     val_canvases: List[Dict[str, np.ndarray]] = []
