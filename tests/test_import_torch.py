@@ -204,6 +204,36 @@ def test_cli_rejects_s2d_preset(tmp_path):
     assert rc == 2
 
 
+@pytest.mark.parametrize(
+    "levels,base,maxf",
+    [(2, 4, 8), (3, 8, 16), (4, 6, 48)],
+)
+def test_structural_import_across_topologies(levels, base, maxf):
+    """The order+shape matcher must hold for any depth/width the config
+    space allows, not just the golden-parity size."""
+    cfg = UNetConfig(
+        levels=levels, base_features=base, max_features=maxf,
+        compute_dtype="float32",
+    )
+    torch.manual_seed(levels * 100 + base)
+    tmodel = TorchMirror(cfg).eval()
+    model = UNet3D(cfg)
+    sz = max(16, 2 ** (levels - 1) * 2)
+    like = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, sz, sz, sz, 4))
+    )
+    params, notes = ti.import_torch_params(
+        ti.flatten_state_dict(tmodel.state_dict()), like
+    )
+    assert notes == []
+    x = np.random.default_rng(1).normal(size=(1, sz, sz, sz, 4)).astype(
+        np.float32
+    )
+    jl = np.asarray(model.apply(params, jnp.asarray(x)))
+    tl = _forward_torch(tmodel, x)
+    np.testing.assert_allclose(jl, tl, atol=5e-4, rtol=1e-3)
+
+
 def test_mapping_file_validation(tmp_path):
     bad = os.path.join(tmp_path, "m.json")
     with open(bad, "w") as f:
