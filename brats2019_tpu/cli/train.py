@@ -168,6 +168,13 @@ def main(argv=None) -> int:
             kd_config=kd_config,
             init_from=args.init_from,
         )
+        if res.preempted:
+            print(
+                f"[train] stage {stage} PREEMPTED (SIGTERM): resumable "
+                "checkpoint saved; rerun the same command to continue",
+                flush=True,
+            )
+            return 3  # distinct from success (0) and usage errors (2)
         print(f"[train] stage {stage} done: {res.final_metrics}", flush=True)
     return 0
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -34,6 +35,10 @@ class StageResult:
     params: object
     final_metrics: Dict[str, float]
     workdir: str
+    # True when the stage stopped early on SIGTERM (preemption): a final
+    # checkpoint was saved and the run is resumable, but later stages
+    # must not start
+    preempted: bool = False
 
 
 def init_stage(
@@ -279,6 +284,19 @@ def train_stage(
     )
     log_device = jax.devices()[0]
     trace_on = False
+    # graceful preemption (TPU pools send SIGTERM before reclaiming): stop
+    # at the next step boundary, save a resumable checkpoint, exit cleanly.
+    # signal.signal only works on the main thread — embedded callers
+    # (tests, dryrun threads) simply don't get the handler
+    preempt = {"sig": None}
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda s, f: preempt.__setitem__("sig", s)
+        )
+    except ValueError:
+        pass
+    preempted = False
     try:
         for step in range(start_step, cfg.steps):
             if profile and step == start_step + 10:
@@ -324,11 +342,28 @@ def train_stage(
                 # alignment — a new best between checkpoint steps must
                 # still become the serving weights
                 ckpt.maybe_save_best(step + 1, params, vm["dice_mean"])
-            if cfg.checkpoint_every and (
+            saved_now = bool(cfg.checkpoint_every) and (
                 (step + 1) % cfg.checkpoint_every == 0 or step == cfg.steps - 1
-            ):
+            )
+            if saved_now:
                 ckpt.save(step + 1, params, opt_state, pool.state())
+            if preempt["sig"] is not None:
+                if not saved_now:  # same step saved twice would collide
+                    ckpt.save(step + 1, params, opt_state, pool.state())
+                ckpt.wait()
+                preempted = True
+                print(
+                    f"[{stage}] SIGTERM at step {step + 1}: checkpoint "
+                    "saved, stopping gracefully (resume continues here)",
+                    flush=True,
+                )
+                break
     finally:
+        if prev_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except ValueError:
+                pass
         if trace_on:
             # short runs (< start+20 steps) or a mid-window exception must
             # still finalize the trace — an open trace is unreadable and
@@ -342,12 +377,19 @@ def train_stage(
         ckpt.wait()
         logger.close()
 
-    # final checkpoint for short runs that never hit checkpoint_every
-    if cfg.checkpoint_every == 0 or cfg.steps < (cfg.checkpoint_every or 1):
+    # final checkpoint for short runs that never hit checkpoint_every —
+    # but NOT after preemption: the preempt save already recorded the true
+    # step, and stamping cfg.steps would claim a completed run
+    if not preempted and (
+        cfg.checkpoint_every == 0 or cfg.steps < (cfg.checkpoint_every or 1)
+    ):
         ckpt.save(cfg.steps, params, opt_state, pool.state(), metric=None)
         ckpt.wait()
     ckpt.close()
-    return StageResult(params=params, final_metrics=last_metrics, workdir=workdir)
+    return StageResult(
+        params=params, final_metrics=last_metrics, workdir=workdir,
+        preempted=preempted,
+    )
 
 
 def train_experiment(
