@@ -169,6 +169,20 @@ def cached_prepare_training_case(
             np.savez(f, image_u16=np.asarray(out["image"]).view(np.uint16),
                      seg=out["seg"], fg=out["fg"])
         os.replace(tmp, path)
+        # prune SUPERSEDED entries for the same case+prep params (older
+        # input signature / version): without this, every re-upload of a
+        # case leaks a ~50 MB orphan forever
+        prefix = os.path.basename(path).rsplit(".", 2)[0]  # drop <hash>.npz
+        for fn in os.listdir(cache_dir):
+            if (
+                fn.endswith(".npz")
+                and fn != os.path.basename(path)
+                and fn.rsplit(".", 2)[0] == prefix
+            ):
+                try:
+                    os.remove(os.path.join(cache_dir, fn))
+                except OSError:
+                    pass
     except OSError as e:
         print(f"[pool] prep-cache write failed ({e}); continuing uncached",
               file=sys.stderr, flush=True)

@@ -53,13 +53,16 @@ def test_cache_key_separates_params_and_inputs(case_dir, tmp_path):
     )
     assert coarse["image"].shape[:3] == (16, 16, 16)
     assert len(os.listdir(cache)) == 2
-    # touching an input invalidates: rewrite one modality with new content
+    # touching an input invalidates — AND the superseded entry for the
+    # same case+params is pruned (re-uploads must not leak ~50 MB orphans)
     t1 = os.path.join(case_dir, os.path.basename(case_dir) + "_t1.nii.gz")
     write_case(case_dir, seed=7, shape=(24, 28, 20))
     os.utime(t1, (os.path.getmtime(t1) + 10,) * 2)
     fresh = pl.cached_prepare_training_case(case_dir, CANVAS,
                                             cache_dir=cache)
-    assert len(os.listdir(cache)) == 3
+    entries = os.listdir(cache)
+    assert len(entries) == 2  # new canvas entry + untouched coarse entry
+    assert any(".d2." in e for e in entries)
     direct = pl.cached_prepare_training_case(case_dir, CANVAS)
     _assert_same(direct, fresh)
 
