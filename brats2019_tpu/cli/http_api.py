@@ -195,6 +195,18 @@ class _Handler(BaseHTTPRequestHandler):
     # self.server is the _ApiServer below (.app = serve.Server instance)
     protocol_version = "HTTP/1.1"
 
+    def _authorized(self) -> bool:
+        """Optional shared-secret gate (`serve --http-token`). Constant-
+        time comparison; /healthz stays open so probes don't need the
+        secret."""
+        token = self.server.token
+        if not token:
+            return True
+        got = self.headers.get("Authorization", "")
+        import hmac
+
+        return hmac.compare_digest(got, f"Bearer {token}")
+
     # ------------------------------------------------------------------ util
 
     def _send_json(self, code: int, obj: dict) -> None:
@@ -248,6 +260,9 @@ class _Handler(BaseHTTPRequestHandler):
         app = self.server.app
         path, q = self._query()
         try:
+            if path != "/healthz" and not self._authorized():
+                raise HttpApiError(401, "missing/invalid Authorization "
+                                        "bearer token")
             if path == "/healthz":
                 self._send_json(200, {
                     "status": "stopping" if app.stopping else "ok",
@@ -294,6 +309,9 @@ class _Handler(BaseHTTPRequestHandler):
         app = self.server.app
         path, q = self._query()
         try:
+            if not self._authorized():
+                raise HttpApiError(401, "missing/invalid Authorization "
+                                        "bearer token")
             if path != "/predict":
                 raise HttpApiError(404, f"unknown path {path!r}")
             try:
@@ -399,17 +417,20 @@ class _ApiServer(ThreadingHTTPServer):
     # huge backlog
     request_queue_size = 16
 
-    def __init__(self, addr, app, watch_root):
+    def __init__(self, addr, app, watch_root, token=None):
         self.app = app
         self.watch_root = watch_root
+        self.token = token
         super().__init__(addr, _Handler)
 
 
-def start_http(app, watch_root: str, port: int, host: str = "127.0.0.1"):
+def start_http(app, watch_root: str, port: int, host: str = "127.0.0.1",
+               token: str = None):
     """Start the HTTP API on a daemon thread. Returns the HTTPServer
     (use ``.server_address`` for the bound port, ``.shutdown()`` to
-    stop)."""
-    httpd = _ApiServer((host, port), app, watch_root)
+    stop). ``token`` gates every endpoint except /healthz behind
+    ``Authorization: Bearer <token>``."""
+    httpd = _ApiServer((host, port), app, watch_root, token=token)
     t = threading.Thread(target=httpd.serve_forever, daemon=True,
                          name="serve-http")
     t.start()

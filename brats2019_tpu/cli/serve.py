@@ -146,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http-host", default="127.0.0.1",
                    help="HTTP bind address (default loopback; front with "
                         "a reverse proxy for anything wider)")
+    p.add_argument("--http-token", default=None, metavar="SECRET",
+                   help="require 'Authorization: Bearer SECRET' on every "
+                        "HTTP endpoint except /healthz")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -507,7 +510,7 @@ def main(argv=None) -> int:
         from .http_api import start_http
 
         httpd = start_http(server, args.watch_root, args.http,
-                           args.http_host)
+                           args.http_host, token=args.http_token)
     try:
         return server.run(args.watch_root, args.poll, args.once)
     finally:

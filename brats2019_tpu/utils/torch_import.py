@@ -51,10 +51,30 @@ class TorchImportError(ValueError):
 def load_torch_state(path: str) -> "Dict[str, np.ndarray]":
     """Load a torch checkpoint file into an ORDERED {key: np.ndarray}.
 
-    Unwraps the common checkpoint-dict wrappers, strips ``module.``
-    (DataParallel) prefixes, converts tensors to numpy, and drops
-    batch-norm-style running statistics.
+    Accepts ``torch.save`` pickles (state dict, wrapper dict, or module)
+    and ``.safetensors`` files. Unwraps the common checkpoint-dict
+    wrappers, strips ``module.`` (DataParallel) prefixes, converts
+    tensors to numpy, and drops batch-norm-style running statistics.
+    CAVEAT: safetensors writers typically SORT keys, which destroys the
+    registration order the structural matcher relies on (``blocks.10``
+    sorts before ``blocks.2``). safetensors input therefore usually needs
+    an explicit ``--map``; the matcher's shape checks will fail loudly,
+    never silently misassign, if sorted order happens to disagree.
     """
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        state = {
+            k: v
+            for k, v in load_file(path).items()
+            if k.split(".")[-1] not in _STAT_SUFFIXES
+        }
+        if not state:
+            raise TorchImportError("safetensors file has no tensors")
+        return {
+            (k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in state.items()
+        }
     import torch
 
     try:

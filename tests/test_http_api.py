@@ -106,6 +106,41 @@ def test_extraction_bomb_cap(tmp_path, monkeypatch):
     assert not os.path.exists(dest)
 
 
+def test_bearer_token_gate(tmp_path):
+    """--http-token: every endpoint except /healthz requires the bearer
+    header; wrong/missing tokens get 401."""
+    s = object.__new__(cli_serve.Server)
+    s.results = {}
+    s.results_cv = threading.Condition()
+    s.started_ts = time.time()
+    s.done = set()
+    s._stop = False
+    httpd = http_api.start_http(s, str(tmp_path), 0, token="s3cret")
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        st, _ = _get(f"{base}/healthz")  # open for probes
+        assert st == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/stats")
+        assert ei.value.code == 401
+        req = urllib.request.Request(
+            f"{base}/stats", headers={"Authorization": "Bearer s3cret"}
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        req = urllib.request.Request(
+            f"{base}/predict?name=x", data=b"zz",
+            headers={"Content-Type": "application/x-tar",
+                     "Authorization": "Bearer wrong"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 401
+    finally:
+        httpd.shutdown()
+
+
 def test_wait_result_finality():
     """Transient records are NOT final (the daemon retries); success and
     permanent quarantine are."""

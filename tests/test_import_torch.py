@@ -145,20 +145,7 @@ def test_explicit_mapping(tmp_path):
     tmodel = TorchMirror(CFG).eval()
     model, like = _template(CFG)
     state = ti.flatten_state_dict(tmodel.state_dict())
-    mapping = {}
-    dc = sorted(
-        (k for k in like["params"] if k.startswith("DoubleConv_")),
-        key=lambda s: int(s.split("_")[1]),
-    )
-    for bi, name in enumerate(dc):
-        for cna, (c, n) in (("ConvNormAct_0", ("c1", "n1")),
-                            ("ConvNormAct_1", ("c2", "n2"))):
-            mapping[f"{name}/{cna}/Conv_0/kernel"] = f"blocks.{bi}.{c}.weight"
-            mapping[f"{name}/{cna}/in_scale"] = f"blocks.{bi}.{n}.weight"
-            mapping[f"{name}/{cna}/in_bias"] = f"blocks.{bi}.{n}.bias"
-    mapping["head/kernel"] = "head.weight"
-    mapping["head/bias"] = "head.bias"
-    params, _ = ti.import_torch_params(state, like, mapping)
+    params, _ = ti.import_torch_params(state, like, _mirror_mapping(like))
     _assert_forward_match(model, params, tmodel)
 
 
@@ -202,6 +189,43 @@ def test_cli_rejects_s2d_preset(tmp_path):
     torch.save(TorchMirror(CFG).state_dict(), src)
     rc = cli.main([src, "--preset", "inference", "--stage", "fine"])
     assert rc == 2
+
+
+def _mirror_mapping(like):
+    mapping = {}
+    dc = sorted(
+        (k for k in like["params"] if k.startswith("DoubleConv_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    for bi, name in enumerate(dc):
+        for cna, (c, n) in (("ConvNormAct_0", ("c1", "n1")),
+                            ("ConvNormAct_1", ("c2", "n2"))):
+            mapping[f"{name}/{cna}/Conv_0/kernel"] = f"blocks.{bi}.{c}.weight"
+            mapping[f"{name}/{cna}/in_scale"] = f"blocks.{bi}.{n}.weight"
+            mapping[f"{name}/{cna}/in_bias"] = f"blocks.{bi}.{n}.bias"
+    mapping["head/kernel"] = "head.weight"
+    mapping["head/bias"] = "head.bias"
+    return mapping
+
+
+def test_safetensors_checkpoint_import(tmp_path):
+    """A .safetensors checkpoint loads; because safetensors writers sort
+    keys (destroying registration order), the structural matcher must
+    fail LOUDLY on shape checks, and an explicit --map must succeed."""
+    from safetensors.numpy import save_file
+
+    torch.manual_seed(9)
+    tmodel = TorchMirror(CFG).eval()
+    path = os.path.join(tmp_path, "ref.safetensors")
+    save_file(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}, path
+    )
+    state = ti.load_torch_state(path)
+    model, like = _template(CFG)
+    with pytest.raises(ti.TorchImportError):  # sorted order: loud failure
+        ti.import_torch_params(state, like)
+    params, _ = ti.import_torch_params(state, like, _mirror_mapping(like))
+    _assert_forward_match(model, params, tmodel)
 
 
 @pytest.mark.parametrize(
