@@ -223,6 +223,7 @@ class Server:
                 os.makedirs(d, exist_ok=True)
         self.done = self._load_done()
         self._stop = False
+        self._reload = False
         # completion records of THIS process, for the HTTP API
         # (cli/http_api.py): case name -> latest JSONL record. Guarded by
         # results_cv; wait_result blocks HTTP threads on it
@@ -257,6 +258,33 @@ class Server:
 
     def request_stop(self, *_):
         self._stop = True
+
+    def request_reload(self, *_):
+        """SIGHUP: hot-reload weights at the next loop iteration."""
+        self._reload = True
+
+    def reload_weights(self) -> bool:
+        """Swap serving weights from the workdir (freshly exported params
+        or a newer checkpoint) with ZERO recompiles — params are traced
+        args of the live executables (Predictor.reload_params). A failed
+        reload keeps the current weights serving."""
+        if not hasattr(self.predictor, "reload_params"):
+            print("serve: SIGHUP reload is not supported for ensemble "
+                  "serving (rebuild the daemon to change members)",
+                  file=sys.stderr, flush=True)
+            return False
+        try:
+            pf = load_stage_params(self.exp, "fine")
+            pc = None
+            if self.exp.infer.cascade and self.exp.coarse_unet is not None:
+                pc = load_stage_params(self.exp, "coarse")
+            self.predictor.reload_params(pf, pc)
+            print("serve: weights hot-reloaded (SIGHUP)", flush=True)
+            return True
+        except Exception as e:  # noqa: BLE001 — keep serving on failure
+            print(f"serve: weight reload FAILED, keeping current weights: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            return False
 
     @property
     def stopping(self) -> bool:
@@ -443,6 +471,9 @@ class Server:
         print(f"serve: watching {watch_root} (poll {poll}s)", flush=True)
         self._last_hb = 0.0
         while not self._stop:
+            if self._reload:
+                self._reload = False
+                self.reload_weights()
             self._heartbeat(poll)
             ready = self.scan(watch_root, sizes)
             if ready:
@@ -505,6 +536,8 @@ def main(argv=None) -> int:
         return 2
     signal.signal(signal.SIGTERM, server.request_stop)
     signal.signal(signal.SIGINT, server.request_stop)
+    if hasattr(signal, "SIGHUP"):
+        signal.signal(signal.SIGHUP, server.request_reload)
     httpd = None
     if args.http is not None:
         from .http_api import start_http

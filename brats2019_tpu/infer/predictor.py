@@ -200,6 +200,25 @@ class Predictor:
 
         self._embed = _embed
 
+    def reload_params(self, params_fine, params_coarse=None) -> None:
+        """Swap serving weights IN PLACE with zero recompiles: params are
+        traced arguments of every compiled program (never baked in), so
+        new values reuse the live executables — the serve daemon's SIGHUP
+        hot-reload path. Must structurally match the current nets; the
+        next dispatched volume picks the new weights up."""
+        self.params_fine = jax.device_put(params_fine, self._default_dev)
+        if params_coarse is not None:
+            self.params_coarse = jax.device_put(
+                params_coarse, self._default_dev
+            )
+        elif self.params_coarse is not None:
+            raise ValueError(
+                "reload_params: the cascade is active; pass params_coarse "
+                "too (or retire the coarse stage by rebuilding the "
+                "Predictor)"
+            )
+        self._params_by_dev.clear()
+
     def predict_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
     ) -> Tuple[np.ndarray, PredictionStats]:

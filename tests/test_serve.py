@@ -240,6 +240,75 @@ def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
     assert hb["done"] >= 0 and hb["ts"] > 0
 
 
+@pytest.mark.slow
+def test_sighup_hot_reload_swaps_weights(tmp_path, monkeypatch):
+    """SIGHUP reload: freshly exported weights take effect on the live
+    daemon with zero recompiles; a reload failure keeps serving."""
+    import jax
+    import jax.numpy as jnp
+
+    from brats2019_tpu.models import UNet3D
+    from brats2019_tpu.train.checkpoint import export_params
+
+    monkeypatch.chdir(tmp_path)
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape",
+        "32", "32", "32", "--preset", "unit", "--steps", "3",
+        "--checkpoint-every", "2", "--workdir", workdir,
+    ])
+    assert rc == 0
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out_dir = str(tmp_path / "served")
+    exp = cli_serve.resolve_experiment(
+        cli_serve.build_parser().parse_args(
+            [str(watch), "--preset", "unit", "--workdir", workdir]
+        )
+    )
+    server = cli_serve.Server(exp, output_dir=out_dir)
+
+    case = "BraTS19_SYN_000_1"
+    shutil.copytree(os.path.join(data, case), watch / case)
+    server.process_batch([str(watch / case)])
+    m1, _ = read_nifti(os.path.join(out_dir, f"{case}_pred.nii.gz"))
+
+    # export DIFFERENT weights (fresh random init) -> newest file wins
+    fresh = UNet3D(exp.unet).init(
+        jax.random.PRNGKey(99), jnp.zeros((1, 16, 16, 16, 4))
+    )
+    export_params(os.path.join(workdir, "fine", "params.npz"), fresh)
+    assert server.reload_weights() is True
+
+    copy = "BraTS19_SYN_000_2"
+    shutil.copytree(os.path.join(data, case), watch / copy)
+    # the copied dir's modality files keep the ORIGINAL case prefix, so
+    # rename them to match the new dir name
+    for f in os.listdir(watch / copy):
+        os.rename(
+            watch / copy / f, watch / copy / f.replace(case, copy)
+        )
+    server.process_batch([str(watch / copy)])
+    m2, _ = read_nifti(os.path.join(out_dir, f"{copy}_pred.nii.gz"))
+
+    # expected mask under the NEW weights, computed independently
+    from brats2019_tpu.infer.predictor import Predictor
+
+    expect, _ = Predictor(exp, fresh).predict_dirs(
+        [str(watch / case)],
+        output_paths=[str(tmp_path / "expect.nii.gz")],
+    ), None
+    me, _ = read_nifti(str(tmp_path / "expect.nii.gz"))
+    np.testing.assert_array_equal(m2, me)
+    assert (m1 != m2).any()  # weights really changed behavior
+
+    # failed reload (missing files) keeps serving on current weights
+    shutil.rmtree(os.path.join(workdir, "fine"))
+    assert server.reload_weights() is False
+
+
 def _bare_server(retries=1):
     import threading
 
