@@ -269,6 +269,29 @@ def load_ensemble_members(exp: ExperimentConfig, workdirs, primary):
     return members
 
 
+def load_serving_params(exp: ExperimentConfig):
+    """Load the serving weights for an experiment: fine always, coarse
+    when the cascade wants it — degrading to cascade=False (returned in
+    the adjusted exp) when no coarse checkpoint exists. The ONE recipe
+    shared by serve startup and the stablehlo export; the serve SIGHUP
+    reload deliberately does NOT use it (degrading cascade off there
+    would require rebuilding the compiled programs)."""
+    import sys
+
+    params_fine = load_stage_params(exp, "fine")
+    params_coarse = None
+    if exp.infer.cascade and exp.coarse_unet is not None:
+        try:
+            params_coarse = load_stage_params(exp, "coarse")
+        except FileNotFoundError:
+            print("warning: no coarse checkpoint; cascade off",
+                  file=sys.stderr)
+            exp = dataclasses.replace(
+                exp, infer=dataclasses.replace(exp.infer, cascade=False)
+            )
+    return exp, params_fine, params_coarse
+
+
 def load_stage_params(
     exp: ExperimentConfig, stage: str, prefer_best: bool = True,
     from_checkpoint_only: bool = False,

@@ -108,20 +108,13 @@ def main(argv=None) -> int:
     if args.stablehlo and rc == 0:
         from ..infer.export_hlo import export_predict_stablehlo
         from ..infer.predictor import Predictor
+        from .common import load_serving_params
 
-        pf = load_stage_params(exp, "fine")
-        pc = None
-        if exp.infer.cascade and exp.coarse_unet is not None:
-            try:
-                pc = load_stage_params(exp, "coarse")
-            except FileNotFoundError:
-                import dataclasses
-
-                print("export: no coarse checkpoint; exporting the "
-                      "no-cascade program", file=sys.stderr)
-                exp = dataclasses.replace(
-                    exp, infer=dataclasses.replace(exp.infer, cascade=False)
-                )
+        try:
+            exp, pf, pc = load_serving_params(exp)
+        except FileNotFoundError as e:
+            print(f"warning: --stablehlo skipped: {e}", file=sys.stderr)
+            return 1
         written = export_predict_stablehlo(
             Predictor(exp, pf, pc),
             os.path.join(exp.workdir, "stablehlo"),

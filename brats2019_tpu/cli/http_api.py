@@ -143,11 +143,12 @@ def _latency_summary(records) -> dict:
 def _stats_dict(app) -> dict:
     with app.results_cv:
         records = list(app.results.values())
+        counters = dict(app.counters)
     return {
-        "served": sum(1 for r in records if r.get("error") is None),
-        "quarantined": sum(
-            1 for r in records if r.get("error_class") == "permanent"
-        ),
+        # monotonic completion counts (Prometheus counter semantics) —
+        # NOT the latest-record survey, which can decrease on resubmits
+        "served": counters["served"],
+        "quarantined": counters["quarantined"],
         "deferred": sum(
             1 for r in records
             if r.get("error") is not None
@@ -205,7 +206,13 @@ class _Handler(BaseHTTPRequestHandler):
         got = self.headers.get("Authorization", "")
         import hmac
 
-        return hmac.compare_digest(got, f"Bearer {token}")
+        # compare BYTES: compare_digest on str raises TypeError for
+        # non-ASCII (header values arrive latin-1-decoded), which would
+        # escape the HttpApiError handlers and drop the connection
+        return hmac.compare_digest(
+            got.encode("utf-8", "surrogateescape"),
+            f"Bearer {token}".encode("utf-8", "surrogateescape"),
+        )
 
     # ------------------------------------------------------------------ util
 

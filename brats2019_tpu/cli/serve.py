@@ -34,6 +34,7 @@ from ..configs.presets import PRESETS
 from ..data.case import discover_cases, modality_paths
 from .common import (
     load_ensemble_members,
+    load_serving_params,
     load_stage_params,
     resolve_experiment,
 )
@@ -180,17 +181,7 @@ class Server:
                  save_probs=False, save_uncertainty=False):
         self.save_probs = save_probs
         self.save_uncertainty = save_uncertainty
-        params_fine = load_stage_params(exp, "fine")
-        params_coarse = None
-        if exp.infer.cascade and exp.coarse_unet is not None:
-            try:
-                params_coarse = load_stage_params(exp, "coarse")
-            except FileNotFoundError:
-                print("serve: no coarse checkpoint; cascade off",
-                      file=sys.stderr)
-                exp = dataclasses.replace(
-                    exp, infer=dataclasses.replace(exp.infer, cascade=False)
-                )
+        exp, params_fine, params_coarse = load_serving_params(exp)
         self.exp = exp
         if ensemble_workdirs:
             from ..infer.ensemble import EnsemblePredictor
@@ -230,6 +221,10 @@ class Server:
         self.started_ts = time.time()
         self.results: dict = {}
         self.results_cv = threading.Condition()
+        # MONOTONIC completion counters for /metrics (Prometheus counters
+        # must never decrease; the latest-record dict can, when a served
+        # case is later resubmitted and fails)
+        self.counters = {"served": 0, "quarantined": 0}
 
     def _load_done(self) -> set:
         """Replay the completion log so a restarted daemon skips served and
@@ -426,6 +421,10 @@ class Server:
         with self.results_cv:
             for rec in records:
                 self.results[rec["case"]] = rec
+                if rec.get("error") is None:
+                    self.counters["served"] += 1
+                elif rec.get("error_class") == "permanent":
+                    self.counters["quarantined"] += 1
             self.results_cv.notify_all()
 
     def wait_result(self, case: str, timeout: float):

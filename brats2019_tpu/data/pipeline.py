@@ -169,16 +169,19 @@ def cached_prepare_training_case(
             np.savez(f, image_u16=np.asarray(out["image"]).view(np.uint16),
                      seg=out["seg"], fg=out["fg"])
         os.replace(tmp, path)
-        # prune SUPERSEDED entries for the same case+prep params (older
-        # input signature / version): without this, every re-upload of a
-        # case leaks a ~50 MB orphan forever
-        prefix = os.path.basename(path).rsplit(".", 2)[0]  # drop <hash>.npz
+        # prune SUPERSEDED entries for the same case+prep params — older
+        # input signature OR older PREP_CACHE_VERSION (unreadable after a
+        # bump): without this, every re-upload or version bump leaks a
+        # ~50 MB orphan forever. Filename = base.vN.cC.dD.hash.npz; match
+        # on (base, cC, dD), ignore vN and hash
+        def _entry_key(fn: str):
+            parts = fn.rsplit(".", 5)
+            return (parts[0], parts[2], parts[3]) if len(parts) == 6 else None
+
+        mine = os.path.basename(path)
+        key = _entry_key(mine)
         for fn in os.listdir(cache_dir):
-            if (
-                fn.endswith(".npz")
-                and fn != os.path.basename(path)
-                and fn.rsplit(".", 2)[0] == prefix
-            ):
+            if fn.endswith(".npz") and fn != mine and _entry_key(fn) == key:
                 try:
                     os.remove(os.path.join(cache_dir, fn))
                 except OSError:

@@ -66,6 +66,12 @@ def export_predict_stablehlo(
     meant for CI/spot checks, not every export).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # remove stale artifacts first: run_exported dispatches on file
+    # existence, so a leftover stage_roi.stablehlo from a previous cascade
+    # export would shadow a freshly-written no-cascade program
+    for fn_old in os.listdir(out_dir):
+        if fn_old.endswith(".stablehlo") or fn_old == "manifest.json":
+            os.remove(os.path.join(out_dir, fn_old))
     fn = predictor._fn
     canvas = predictor.canvas
     image_aval = jax.ShapeDtypeStruct(tuple(canvas) + (4,), jax.numpy.bfloat16)

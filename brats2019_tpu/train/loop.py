@@ -260,6 +260,13 @@ def train_stage(
         params = jax.device_put(
             _load_init_params(init_from, params), env.replicated()
         )
+        # re-init the optimizer AFTER the swap: tx.init seeded state from
+        # the discarded random init — with --ema-decay the EMA would
+        # otherwise stay contaminated by random weights for ~1/(1-decay)
+        # steps, and export --ema would ship that blend
+        opt_state = jax.device_put(
+            make_optimizer(cfg).init(params), env.replicated()
+        )
         print(f"[{stage}] warm-started params from {init_from} "
               "(fresh optimizer state, step 0)", flush=True)
 
@@ -398,13 +405,18 @@ def train_experiment(
     val_dirs: Sequence[str] = (),
     profile: bool = False,
 ) -> Dict[str, StageResult]:
-    """Train all stages of an experiment (coarse first when cascaded)."""
+    """Train all stages of an experiment (coarse first when cascaded).
+    A SIGTERM-preempted stage stops the experiment — later stages must
+    not start on a machine that was told to shut down; the returned
+    results carry ``preempted`` for the caller."""
     env = make_mesh()
     results: Dict[str, StageResult] = {}
     if exp.coarse_unet is not None:
         results["coarse"] = train_stage(
             exp, case_dirs, stage="coarse", val_dirs=val_dirs, env=env, profile=profile
         )
+        if results["coarse"].preempted:
+            return results
     results["fine"] = train_stage(
         exp, case_dirs, stage="fine", val_dirs=val_dirs, env=env, profile=profile
     )

@@ -91,6 +91,21 @@ def test_monolithic_export_roundtrip(tmp_path):
     assert list(man["modules"]) == ["predict"]
 
 
+def test_reexport_cleans_stale_modules(tmp_path):
+    """A config flip (cascade -> no-cascade) into the same out_dir must
+    not leave the old stage modules behind — run_exported dispatches on
+    file existence."""
+    out = str(tmp_path / "hlo")
+    export_predict_stablehlo(
+        Predictor(_exp(INFER), _init_params(0), _init_params(1)), out
+    )
+    assert os.path.exists(os.path.join(out, "stage_roi.stablehlo"))
+    infer = dataclasses.replace(INFER, cascade=False)
+    export_predict_stablehlo(Predictor(_exp(infer), _init_params(0)), out)
+    names = sorted(os.listdir(out))
+    assert names == ["manifest.json", "predict.stablehlo"]
+
+
 @pytest.mark.slow
 def test_cli_export_stablehlo(tmp_path, monkeypatch):
     from brats2019_tpu.cli import export as cli_export

@@ -112,6 +112,7 @@ def test_bearer_token_gate(tmp_path):
     s = object.__new__(cli_serve.Server)
     s.results = {}
     s.results_cv = threading.Condition()
+    s.counters = {"served": 0, "quarantined": 0}
     s.started_ts = time.time()
     s.done = set()
     s._stop = False
@@ -147,6 +148,7 @@ def test_wait_result_finality():
     s = object.__new__(cli_serve.Server)
     s.results = {}
     s.results_cv = threading.Condition()
+    s.counters = {"served": 0, "quarantined": 0}
     s._stop = False
 
     assert s.wait_result("x", 0.0) is None
@@ -166,6 +168,44 @@ def test_wait_result_finality():
 
     s._publish([{"case": "y", "error": "bad", "error_class": "permanent"}])
     assert s.wait_result("y", 10.0)["error_class"] == "permanent"
+
+
+def test_metrics_counters_are_monotonic():
+    """A served case later resubmitted-and-failed must not DECREASE the
+    served counter (Prometheus counter semantics)."""
+    s = object.__new__(cli_serve.Server)
+    s.results = {}
+    s.results_cv = threading.Condition()
+    s.counters = {"served": 0, "quarantined": 0}
+    s.done = set()
+    s._stop = False
+    s._publish([{"case": "x", "output": "x.nii.gz", "error": None,
+                 "batch_wall_s": 1.0, "batch_size": 1}])
+    assert http_api._stats_dict(s)["served"] == 1
+    s._publish([{"case": "x", "error": "boom", "error_class": "permanent"}])
+    st = http_api._stats_dict(s)
+    assert st["served"] == 1 and st["quarantined"] == 1
+
+
+def test_non_ascii_authorization_is_401_not_dropped(tmp_path):
+    s = object.__new__(cli_serve.Server)
+    s.results = {}
+    s.results_cv = threading.Condition()
+    s.counters = {"served": 0, "quarantined": 0}
+    s.started_ts = time.time()
+    s.done = set()
+    s._stop = False
+    httpd = http_api.start_http(s, str(tmp_path), 0, token="tok")
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/stats", headers={"Authorization": "Bearer s\xe9"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 401  # a clean 401, not a reset socket
+    finally:
+        httpd.shutdown()
 
 
 def test_latency_summary():

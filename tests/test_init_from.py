@@ -79,6 +79,58 @@ def test_cli_warm_start_then_resume_wins(tmp_path, monkeypatch, capsys):
     assert rc == 0 and "IGNORED" in out and "resumed from step 2" in out
 
 
+@pytest.mark.slow
+def test_warm_start_seeds_the_ema(tmp_path, monkeypatch):
+    """--init-from + --ema-decay: the EMA must be seeded from the
+    IMPORTED weights, not the discarded random init (export --ema would
+    otherwise ship a random-contaminated blend)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from brats2019_tpu.cli.common import ema_stage_params
+    from brats2019_tpu.models import UNet3D
+    from brats2019_tpu.utils.torch_import import (
+        import_torch_params,
+        load_torch_state,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    exp = get_preset("unit")
+    torch.manual_seed(5)
+    ckpt = str(tmp_path / "ref.pt")
+    torch.save(TorchMirror(exp.unet).state_dict(), ckpt)
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", str(tmp_path / "data"), "--synthetic", "2",
+        "--synthetic-shape", "32", "32", "32", "--preset", "unit",
+        "--steps", "2", "--checkpoint-every", "2", "--workdir", workdir,
+        "--stage", "fine", "--init-from", ckpt, "--ema-decay", "0.9",
+    ])
+    assert rc == 0
+
+    exp = dataclasses.replace(
+        exp, workdir=workdir,
+        train=dataclasses.replace(exp.train, ema_decay=0.9),
+    )
+    ema = ema_stage_params(exp, "fine")
+    imported, _ = import_torch_params(load_torch_state(ckpt),
+                                      _unit_template())
+    random_init = UNet3D(exp.unet).init(
+        jax.random.PRNGKey(exp.train.seed), jnp.zeros((1, 16, 16, 16, 4))
+    )
+
+    def flat(t):
+        return np.concatenate(
+            [np.ravel(np.asarray(l, np.float32))
+             for l in jax.tree_util.tree_leaves(t)]
+        )
+
+    d_imported = np.linalg.norm(flat(ema) - flat(imported))
+    d_random = np.linalg.norm(flat(ema) - flat(random_init))
+    assert d_imported < 0.25 * d_random, (d_imported, d_random)
+
+
 def test_cli_init_from_requires_single_stage(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     rc = cli_train.main([

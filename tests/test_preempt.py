@@ -13,6 +13,27 @@ from brats2019_tpu.cli import train as cli_train
 from brats2019_tpu.utils.logging import MetricsLogger
 
 
+def test_train_experiment_stops_after_preempted_coarse(monkeypatch):
+    """A preempted coarse stage must not start the fine stage."""
+    import brats2019_tpu.train.loop as loop
+
+    calls = []
+
+    def fake_stage(exp, dirs, *, stage, **kw):
+        calls.append(stage)
+        return loop.StageResult(
+            params=None, final_metrics={}, workdir="w", preempted=True
+        )
+
+    monkeypatch.setattr(loop, "train_stage", fake_stage)
+    monkeypatch.setattr(loop, "make_mesh", lambda: None)
+    from brats2019_tpu.configs.presets import get_preset
+
+    res = loop.train_experiment(get_preset("cascade"), ["c1"])
+    assert calls == ["coarse"]
+    assert res["coarse"].preempted and "fine" not in res
+
+
 @pytest.mark.slow
 def test_sigterm_saves_and_resumes(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)

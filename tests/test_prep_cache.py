@@ -84,6 +84,18 @@ def test_corrupt_entry_is_rebuilt(case_dir, tmp_path, capsys):
     _assert_same(direct, again)
 
 
+def test_version_bump_prunes_old_entries(case_dir, tmp_path, monkeypatch):
+    """Entries written under an older PREP_CACHE_VERSION are unreadable
+    forever — a rewrite under the new version must remove them."""
+    cache = str(tmp_path / "cache")
+    pl.cached_prepare_training_case(case_dir, CANVAS, cache_dir=cache)
+    assert any(".v1." in e for e in os.listdir(cache))
+    monkeypatch.setattr(pl, "PREP_CACHE_VERSION", 2)
+    pl.cached_prepare_training_case(case_dir, CANVAS, cache_dir=cache)
+    entries = os.listdir(cache)
+    assert len(entries) == 1 and ".v2." in entries[0]
+
+
 def test_bf16_bit_pattern_survives(case_dir, tmp_path):
     """The uint16-view encoding must preserve bf16 bits exactly (incl.
     negative z-scores and zeros)."""

@@ -319,6 +319,7 @@ def _bare_server(retries=1):
     s.results = {}
     s.results_cv = threading.Condition()
     s.started_ts = 0.0
+    s.counters = {"served": 0, "quarantined": 0}
     return s
 
 
