@@ -81,6 +81,35 @@ assert p.main([dirs[2], "--preset", "smoke", "--workdir", run_dir,
                "--out", os.path.join(tmp, "pred.nii.gz")]) == 0
 assert ev.main([dirs[2], "--preset", "smoke", "--workdir", run_dir,
                 "--out", os.path.join(tmp, "eval.json")]) == 0
+
+# round-3 surfaces: stablehlo deployment export (exact-equality check),
+# torch import -> warm-start chain, and the serve daemon in --once mode
+assert ex.main(["--preset", "smoke", "--workdir", run_dir,
+                "--stablehlo", "--stablehlo-check"]) == 0
+assert os.path.exists(os.path.join(run_dir, "stablehlo", "manifest.json"))
+
+import torch, sys
+sys.path.insert(0, "tests")
+from test_golden_parity import TorchMirror
+from brats2019_tpu.configs.presets import get_preset
+torch.save(TorchMirror(get_preset("smoke").unet).state_dict(),
+           os.path.join(tmp, "ref.pt"))
+from brats2019_tpu.cli import import_torch as it
+assert it.main([os.path.join(tmp, "ref.pt"), "--preset", "smoke",
+                "--workdir", os.path.join(tmp, "imported")]) == 0
+assert t.main(["--data", data, "--preset", "smoke", "--stage", "fine",
+               "--steps", "1", "--workdir", os.path.join(tmp, "ft"),
+               "--init-from", os.path.join(tmp, "ref.pt")]) == 0
+
+import shutil
+from brats2019_tpu.cli import serve as sv
+watch = os.path.join(tmp, "incoming"); os.makedirs(watch)
+shutil.copytree(dirs[2], os.path.join(watch, os.path.basename(dirs[2])))
+assert sv.main([watch, "--preset", "smoke", "--workdir", run_dir,
+                "--output-dir", os.path.join(tmp, "served"),
+                "--once", "--postproc", "host"]) == 0
+assert any(f.endswith("_pred.nii.gz")
+           for f in os.listdir(os.path.join(tmp, "served")))
 print("cli smoke ok")
 """
 
