@@ -91,6 +91,37 @@ def test_monolithic_export_roundtrip(tmp_path):
     assert list(man["modules"]) == ["predict"]
 
 
+def test_flagship_scale_export(tmp_path):
+    """The JUDGED flagship preset exports at its real shapes — jax.export
+    only traces and serializes (no backend compile), so this is fast even
+    on CPU; weights stay runtime inputs so the modules are tiny."""
+    from brats2019_tpu.configs.presets import get_preset
+
+    exp = get_preset("inference")
+
+    def zero_params(cfg, sz):
+        like = jax.eval_shape(
+            lambda k: UNet3D(cfg).init(k, jnp.zeros((1, sz, sz, sz, 4))),
+            jax.random.PRNGKey(0),
+        )
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), like
+        )
+
+    pred = Predictor(exp, zero_params(exp.unet, 64),
+                     zero_params(exp.coarse_unet, 32))
+    out = str(tmp_path / "hlo")
+    export_predict_stablehlo(pred, out)  # no check: that would compile
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert set(man["modules"]) == {"stage_roi", "stage_fine"}
+    roi_sig = man["modules"]["stage_roi"]["inputs_flat"]
+    # the canvas-shaped bf16 image input at the judged flagship size
+    assert any(
+        s["shape"] == [192, 224, 160, 4] and s["dtype"] == "bfloat16"
+        for s in roi_sig
+    )
+
+
 def test_reexport_cleans_stale_modules(tmp_path):
     """A config flip (cascade -> no-cascade) into the same out_dir must
     not leave the old stage modules behind — run_exported dispatches on
