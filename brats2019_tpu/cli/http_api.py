@@ -287,6 +287,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif path == "/artifact":
+                self._serve_artifact(app, q)
             elif path == "/result":
                 name = _safe_case_name(q.get("case", ""))
                 rec = app.wait_result(name,
@@ -309,6 +311,39 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(404, {"error": f"unknown path {path!r}"})
         except HttpApiError as e:
             self._send_json(e.code, {"error": str(e)})
+
+    # artifact kinds -> the FIXED filename patterns the daemon writes
+    # (cli/predict.py _emit_probs_artifacts + Server._out_paths); only
+    # these names are ever served — no path from the client touches disk
+    _ARTIFACTS = {
+        "pred": "{case}_pred.nii.gz",
+        "probs": "{case}_probs.npz",
+        "unc_whole": "{case}_unc_whole.nii.gz",
+        "unc_core": "{case}_unc_core.nii.gz",
+        "unc_enhance": "{case}_unc_enhance.nii.gz",
+    }
+
+    def _serve_artifact(self, app, q) -> None:
+        """GET /artifact?case=X&kind=pred|probs|unc_* — fetch a served
+        case's output files (the --save-probs / --save-uncertainty QA
+        artifacts land next to the prediction; remote clients need a way
+        to retrieve them)."""
+        name = _safe_case_name(q.get("case", ""))
+        kind = q.get("kind", "pred")
+        if kind not in self._ARTIFACTS:
+            raise HttpApiError(
+                400, f"kind must be one of {sorted(self._ARTIFACTS)}"
+            )
+        base_dir = app.output_dir or os.path.join(
+            self.server.watch_root, name
+        )
+        path = os.path.join(base_dir, self._ARTIFACTS[kind].format(case=name))
+        if not os.path.exists(path):
+            raise HttpApiError(
+                404, f"no {kind} artifact for {name!r} (served with the "
+                     "matching --save-* flag?)"
+            )
+        self._send_file(path)
 
     # ---------------------------------------------------------------- POST
 

@@ -286,6 +286,7 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
             "application/json",
         )
         assert st == 200
+        body_pred = body
         from brats2019_tpu.utils.nifti import read_nifti
 
         tmp_pred = tmp_path / "got_pred.nii.gz"
@@ -326,6 +327,17 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
         text = body.decode()
         assert st == 200 and "brats_served_total 2" in text
         assert 'brats_case_latency_seconds{quantile="0.5"}' in text
+
+        # 3b) artifact retrieval: the served prediction is fetchable;
+        # absent QA artifacts 404; unknown kinds 400
+        st, abody = _get(f"{base}/artifact?case=BraTS19_SYN_000_1&kind=pred")
+        assert st == 200 and abody == body_pred
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/artifact?case=BraTS19_SYN_000_1&kind=probs")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/artifact?case=BraTS19_SYN_000_1&kind=bogus")
+        assert ei.value.code == 400
 
         # 4) error taxonomy over HTTP
         with pytest.raises(urllib.error.HTTPError) as ei:
