@@ -374,6 +374,39 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
                          _case_tarball(case2), "application/x-tar")
         assert st == 200 and json.loads(body)["done"] is True
 
+        # 4e) CONCURRENT submissions: three clients at once, all served
+        # (the daemon batches what the scans pick up; each waiter gets
+        # its own case's record)
+        results = {}
+
+        def submit(i):
+            src = os.path.join(data, "BraTS19_SYN_002_1")
+            name = f"CONC_{i}_1"
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+                for p in sorted(os.listdir(src)):
+                    tf.add(os.path.join(src, p),
+                           arcname=p.replace("BraTS19_SYN_002_1", name))
+            try:
+                st_i, b = _post(
+                    f"{base}/predict?name={name}&timeout=240&format=json",
+                    buf.getvalue(), "application/x-tar",
+                )
+                results[name] = (st_i, json.loads(b))
+            except Exception as e:  # surface in the main thread
+                results[name] = ("err", repr(e))
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 3
+        for name, (st_i, rec) in results.items():
+            assert st_i == 200, (name, rec)
+            assert rec["case"] == name and rec.get("error") is None
+
         # 5) a corrupt upload is quarantined -> 422 with the error class
         bad = _tar_bytes([
             ("CORRUPT_1_t1.nii.gz", b"junk"), ("CORRUPT_1_t1ce.nii.gz", b"junk"),
