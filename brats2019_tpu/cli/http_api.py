@@ -6,7 +6,9 @@ surface, and this module puts a network API on it. Endpoints:
 
   GET  /healthz                    liveness: {status, done, uptime_s, ts}
   GET  /stats                      served/failed counts + latency summary
+  GET  /metrics                    the same counters, Prometheus format
   GET  /result?case=NAME[&timeout=S]   completion record for one case
+  GET  /artifact?case=NAME&kind=pred|probs|unc_*   fetch output files
   POST /predict?name=NAME[&timeout=S][&format=json]
        body = tar (optionally gzipped) of the 4 modality NIfTIs
        (Content-Type application/x-tar), or JSON {"case_dir": "/path"}
@@ -230,19 +232,27 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _send_file(self, path: str) -> None:
-        with open(path, "rb") as f:
-            data = f.read()
-        self.send_response(200)
-        ctype = ("application/gzip" if path.endswith(".gz")
-                 else "application/octet-stream")
-        self.send_header("Content-Type", ctype)
-        self.send_header(
-            "Content-Disposition",
-            f'attachment; filename="{os.path.basename(path)}"',
-        )
-        self.send_header("Content-Length", str(len(data)))
-        self.end_headers()
-        self.wfile.write(data)
+        """Stream a file at constant memory (probs npz can be tens of MB;
+        N concurrent fetches must not each hold the whole file). Raises
+        HttpApiError(404) if the file vanished between check and open."""
+        try:
+            f = open(path, "rb")
+            size = os.fstat(f.fileno()).st_size
+        except OSError:
+            raise HttpApiError(404, f"artifact vanished: "
+                                    f"{os.path.basename(path)}")
+        with f:
+            self.send_response(200)
+            ctype = ("application/gzip" if path.endswith(".gz")
+                     else "application/octet-stream")
+            self.send_header("Content-Type", ctype)
+            self.send_header(
+                "Content-Disposition",
+                f'attachment; filename="{os.path.basename(path)}"',
+            )
+            self.send_header("Content-Length", str(size))
+            self.end_headers()
+            shutil.copyfileobj(f, self.wfile, length=1 << 20)
 
     def log_message(self, fmt, *args):  # route through the daemon's stdout
         print(f"serve-http: {self.address_string()} {fmt % args}", flush=True)
@@ -334,15 +344,17 @@ class _Handler(BaseHTTPRequestHandler):
             raise HttpApiError(
                 400, f"kind must be one of {sorted(self._ARTIFACTS)}"
             )
-        base_dir = app.output_dir or os.path.join(
+        base_dir = getattr(app, "output_dir", None) or os.path.join(
             self.server.watch_root, name
         )
         path = os.path.join(base_dir, self._ARTIFACTS[kind].format(case=name))
         if not os.path.exists(path):
-            raise HttpApiError(
-                404, f"no {kind} artifact for {name!r} (served with the "
-                     "matching --save-* flag?)"
-            )
+            if kind == "pred":
+                hint = ("case not served yet or unknown — check "
+                        "GET /result?case=...")
+            else:
+                hint = "was the daemon started with the matching --save-* flag?"
+            raise HttpApiError(404, f"no {kind} artifact for {name!r} ({hint})")
         self._send_file(path)
 
     # ---------------------------------------------------------------- POST
@@ -477,5 +489,6 @@ def start_http(app, watch_root: str, port: int, host: str = "127.0.0.1",
                          name="serve-http")
     t.start()
     print(f"serve: HTTP API on http://{host}:{httpd.server_address[1]} "
-          "(endpoints: /healthz /stats /result /predict)", flush=True)
+          "(endpoints: /healthz /stats /metrics /result /artifact "
+          "/predict)", flush=True)
     return httpd

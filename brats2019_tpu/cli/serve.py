@@ -336,7 +336,6 @@ class Server:
                 )
             records.append(rec)
         self._log(records)
-        self._publish(records)
         # served and permanently-quarantined cases are done; a case whose
         # failure outlived the in-process retries but classified TRANSIENT
         # must stay retryable by THIS daemon (the next scan re-picks it at
@@ -369,6 +368,10 @@ class Server:
                 except Exception as e:  # noqa: BLE001 — QA is best-effort
                     print(f"serve: artifact pass failed for {d}: {e}",
                           file=sys.stderr, flush=True)
+        # publish LAST: an HTTP /predict waiter woken by this must be able
+        # to GET /artifact immediately, so the QA artifacts (and the
+        # atomically-renamed outputs) have to exist first
+        self._publish(records)
         return outs
 
     def _predict_one_isolated(self, case_dir: str):

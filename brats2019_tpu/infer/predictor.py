@@ -42,11 +42,17 @@ def save_probs_npz(output_path: str, probs: np.ndarray) -> str:
     ensemble, and the predict CLI all write through here): float16
     ``probs`` (X, Y, Z, C) + ``classes`` naming the channel order in BraTS
     disk labels [0, 1, 2, 4]."""
-    np.savez_compressed(
-        output_path,
-        probs=probs.astype(np.float16),
-        classes=np.array([0, 1, 2, 4], np.int32),
-    )
+    import os
+
+    # temp+rename: a reader (GET /artifact) must never see a torn file
+    tmp = f"{output_path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f,
+            probs=probs.astype(np.float16),
+            classes=np.array([0, 1, 2, 4], np.int32),
+        )
+    os.replace(tmp, output_path)
     return output_path
 
 

@@ -311,16 +311,20 @@ def write_nifti(
         hdr_bytes = _build_header(data.shape, data.dtype, affine, descrip=descrip)
 
     payload = hdr_bytes + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    # temp+rename: concurrent readers (serve watchers, GET /artifact, the
+    # online evaluator's pickup scripts) must never observe a torn file
+    tmp = f"{path}.{os.getpid()}.tmp"
     if path.endswith(".gz"):
         # mtime=0 for deterministic bytes; compresslevel 6 balances the 1-core host
-        with open(path, "wb") as fo:
+        with open(tmp, "wb") as fo:
             with gzip.GzipFile(
                 filename="", fileobj=fo, mode="wb", mtime=0, compresslevel=6
             ) as g:
                 g.write(payload)
     else:
-        with open(path, "wb") as fo:
+        with open(tmp, "wb") as fo:
             fo.write(payload)
+    os.replace(tmp, path)
 
 
 def read_header(path: str) -> NiftiHeader:
