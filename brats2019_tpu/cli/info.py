@@ -63,7 +63,41 @@ def gather(preset: str = "cascade") -> dict:
             "unet": dataclasses.asdict(exp.unet),
             "workdir": exp.workdir,
         }
+        info["artifacts"] = _artifact_status(exp)
     return info
+
+
+def _artifact_status(exp) -> dict:
+    """Deployment-artifact freshness for the resolved preset's workdir:
+    which weights predict/serve would load per stage (and whether an
+    export is STALER than the newest checkpoint — the silent-staleness
+    trap load_stage_params warns about), plus the StableHLO export's
+    manifest if present."""
+    import os
+
+    from .common import _latest_checkpoint_mtime
+
+    out: dict = {}
+    for stage in ("fine", "coarse"):
+        sdir = os.path.join(exp.workdir, stage)
+        entry: dict = {}
+        exported = [
+            p for p in (os.path.join(sdir, "params.safetensors"),
+                        os.path.join(sdir, "params.npz"))
+            if os.path.exists(p)
+        ]
+        ckpt_mtime = _latest_checkpoint_mtime(sdir)
+        entry["has_checkpoint"] = ckpt_mtime > 0
+        if exported:
+            newest = max(exported, key=os.path.getmtime)
+            entry["export"] = newest
+            entry["export_stale"] = ckpt_mtime > os.path.getmtime(newest)
+        if entry.get("has_checkpoint") or exported:
+            out[stage] = entry
+    man = os.path.join(exp.workdir, "stablehlo", "manifest.json")
+    if os.path.exists(man):
+        out["stablehlo_manifest"] = man
+    return out
 
 
 def main(argv=None) -> int:

@@ -162,3 +162,27 @@ def test_info_cli(capsys):
     assert "native_loader" in out
     assert out["preset"]["name"] == "cascade"
     assert out["preset"]["transfer_bucket"] == 16
+    assert "artifacts" in out  # deployment freshness block
+
+
+def test_info_artifact_status(tmp_path):
+    """Artifact freshness: export_stale flips when a checkpoint becomes
+    newer than the export (the silent-staleness trap operators hit)."""
+    import dataclasses
+    import os
+    import time
+
+    from brats2019_tpu.cli.info import _artifact_status
+    from brats2019_tpu.configs.presets import get_preset
+
+    exp = dataclasses.replace(get_preset("unit"), workdir=str(tmp_path))
+    assert _artifact_status(exp) == {}
+    fine = tmp_path / "fine"
+    (fine / "checkpoints" / "10").mkdir(parents=True)
+    (fine / "params.npz").write_bytes(b"x")
+    st = _artifact_status(exp)
+    assert st["fine"]["has_checkpoint"] and not st["fine"]["export_stale"]
+    # a NEWER checkpoint makes the export stale
+    now = time.time()
+    os.utime(fine / "checkpoints" / "10", (now + 60, now + 60))
+    assert _artifact_status(exp)["fine"]["export_stale"] is True

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     import dataclasses
 
     from brats2019_tpu.cli.common import load_stage_params, resolve_experiment
-    from brats2019_tpu.data.case import discover_cases, load_case, seg_path
+    from brats2019_tpu.data.case import discover_cases, load_case
     from brats2019_tpu.data.constants import disk_to_internal
     from brats2019_tpu.infer.predictor import Predictor
     from brats2019_tpu.train.metrics import region_dice_np
