@@ -183,6 +183,7 @@ class Server:
         self.save_uncertainty = save_uncertainty
         exp, params_fine, params_coarse = load_serving_params(exp)
         self.exp = exp
+        self.ensemble_workdirs = list(ensemble_workdirs or [])
         if ensemble_workdirs:
             from ..infer.ensemble import EnsemblePredictor
 
@@ -263,18 +264,21 @@ class Server:
         or a newer checkpoint) with ZERO recompiles — params are traced
         args of the live executables (Predictor.reload_params). A failed
         reload keeps the current weights serving."""
-        if not hasattr(self.predictor, "reload_params"):
-            print("serve: SIGHUP reload is not supported for ensemble "
-                  "serving (rebuild the daemon to change members)",
-                  file=sys.stderr, flush=True)
-            return False
         try:
             pf = load_stage_params(self.exp, "fine")
             pc = None
             if self.exp.infer.cascade and self.exp.coarse_unet is not None:
                 pc = load_stage_params(self.exp, "coarse")
-            self.predictor.reload_params(pf, pc)
-            print("serve: weights hot-reloaded (SIGHUP)", flush=True)
+            if self.ensemble_workdirs:
+                members = load_ensemble_members(
+                    self.exp, self.ensemble_workdirs, (pf, pc)
+                )
+                self.predictor.reload_members(members)
+                print(f"serve: {len(members)} ensemble members "
+                      "hot-reloaded (SIGHUP)", flush=True)
+            else:
+                self.predictor.reload_params(pf, pc)
+                print("serve: weights hot-reloaded (SIGHUP)", flush=True)
             return True
         except Exception as e:  # noqa: BLE001 — keep serving on failure
             print(f"serve: weight reload FAILED, keeping current weights: "

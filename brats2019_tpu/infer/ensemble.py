@@ -116,6 +116,26 @@ class EnsemblePredictor:
     def num_members(self) -> int:
         return len(self._members)
 
+    def reload_members(self, members: Sequence[Tuple]) -> None:
+        """Swap every member's weights in place with zero recompiles
+        (params are traced args of the shared member program) — the
+        ensemble arm of the serve daemon's SIGHUP hot-reload. The member
+        COUNT may change too: members are a Python loop over one compiled
+        program, not a compiled-in constant."""
+        if not members:
+            raise ValueError("reload_members needs at least one member")
+        pf0, pc0 = members[0]
+        self._p.reload_params(pf0, pc0)
+        dev = self._p._default_dev
+        self._members = [(self._p.params_fine, self._p.params_coarse)] + [
+            (
+                jax.device_put(pf, dev),
+                jax.device_put(pc, dev) if pc is not None else None,
+            )
+            for pf, pc in members[1:]
+        ]
+        self._member_cache.clear()
+
     def _member_on(self, i: int, dev):
         """Member i's params committed to ``dev``, cached per (member,
         device) — member-parallel dispatch places ONE member per device,

@@ -592,6 +592,36 @@ def test_ensemble_predictor(tmp_path):
         EnsemblePredictor(exp, [])
 
 
+def test_ensemble_reload_members():
+    """reload_members: the live ensemble swaps to new weights (and a new
+    member COUNT) in place — probabilities match a freshly-built ensemble
+    exactly; the per-device member cache is invalidated."""
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+
+    exp = _make_exp(True)
+    pA, pB, pC, coarse = (
+        _init_params(0), _init_params(7), _init_params(13), _init_params(1)
+    )
+    image, _ = make_case_arrays(seed=33, shape=(40, 36, 28))
+
+    ens = EnsemblePredictor(exp, [(pA, coarse), (pB, coarse)])
+    before, _ = ens.predict_probs_arrays(image)
+
+    ens.reload_members([(pB, coarse), (pC, coarse), (pA, coarse)])
+    assert ens.num_members == 3
+    after, _ = ens.predict_probs_arrays(image)
+    fresh, _ = EnsemblePredictor(
+        exp, [(pB, coarse), (pC, coarse), (pA, coarse)]
+    ).predict_probs_arrays(image)
+    np.testing.assert_array_equal(after, fresh)
+    assert not np.array_equal(before, after)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ens.reload_members([])
+
+
 def test_ensemble_member_parallel_matches_sequential():
     """Member-parallel dispatch (one member per local device, results
     gathered to the primary) must be BITWISE identical to the sequential
