@@ -150,12 +150,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http-token", default=None, metavar="SECRET",
                    help="require 'Authorization: Bearer SECRET' on every "
                         "HTTP endpoint except /healthz")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="scale-out serving: this daemon handles only the "
+                        "cases whose stable name-hash lands in shard I of "
+                        "N (e.g. one daemon per host/chip over a shared "
+                        "watch root: --shard 0/4 ... --shard 3/4). "
+                        "Deterministic and disjoint; each daemon keeps "
+                        "its own --output-dir/log")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
                    help="initial retry backoff seconds (doubles per retry)")
     p.add_argument("--seed", type=int, default=None)
     return p
+
+
+def shard_of(name: str, n: int) -> int:
+    """Stable shard assignment by case name — the SAME on every host and
+    every run (Python's hash() is salted per process, so it cannot be
+    used here)."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % n
+
+
+def parse_shard(spec: str) -> tuple:
+    try:
+        i_s, n_s = spec.split("/")
+        i, n = int(i_s), int(n_s)
+    except ValueError:
+        raise ValueError(f"--shard must be I/N (got {spec!r})")
+    if not (n >= 1 and 0 <= i < n):
+        raise ValueError(f"--shard needs 0 <= I < N (got {spec!r})")
+    return i, n
 
 
 def _case_ready(case_dir: str, sizes: dict) -> bool:
@@ -216,6 +243,8 @@ class Server:
         self.done = self._load_done()
         self._stop = False
         self._reload = False
+        # scale-out: (i, n) or None — scan() skips cases outside shard i
+        self.shard = None
         # completion records of THIS process, for the HTTP API
         # (cli/http_api.py): case name -> latest JSONL record. Guarded by
         # results_cv; wait_result blocks HTTP threads on it
@@ -458,11 +487,19 @@ class Server:
                     return rec
                 self.results_cv.wait(min(remaining, 1.0))
 
+    def _mine(self, case_dir: str) -> bool:
+        if self.shard is None:
+            return True
+        i, n = self.shard
+        return shard_of(os.path.basename(case_dir), n) == i
+
     def scan(self, watch_root: str, sizes: dict) -> list:
         return [
             d
             for d in discover_cases(watch_root)
-            if os.path.basename(d) not in self.done and _case_ready(d, sizes)
+            if self._mine(d)
+            and os.path.basename(d) not in self.done
+            and _case_ready(d, sizes)
         ]
 
     def run(self, watch_root: str, poll: float, once: bool) -> int:
@@ -540,6 +577,14 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if args.shard:
+        try:
+            server.shard = parse_shard(args.shard)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"serve: shard {server.shard[0]}/{server.shard[1]} of the "
+              "watch root", flush=True)
     signal.signal(signal.SIGTERM, server.request_stop)
     signal.signal(signal.SIGINT, server.request_stop)
     if hasattr(signal, "SIGHUP"):

@@ -240,6 +240,47 @@ def test_serve_loop_mode_picks_up_new_case_and_drains(tmp_path, monkeypatch):
     assert hb["done"] >= 0 and hb["ts"] > 0
 
 
+def test_shard_assignment_is_stable_and_partitioning():
+    """--shard: every case lands in exactly one shard, assignment is a
+    pure function of the name (identical across hosts/runs), and I/N
+    validation rejects malformed specs."""
+    names = [f"BraTS19_CBICA_{i:03d}_1" for i in range(50)]
+    n = 4
+    shards = [cli_serve.shard_of(x, n) for x in names]
+    assert set(shards) <= set(range(n))
+    assert len(set(shards)) > 1  # actually spreads
+    assert shards == [cli_serve.shard_of(x, n) for x in names]  # stable
+    assert cli_serve.parse_shard("2/4") == (2, 4)
+    for bad in ("4/4", "-1/4", "x/4", "1", "1/0"):
+        with pytest.raises(ValueError):
+            cli_serve.parse_shard(bad)
+
+
+def test_shard_scan_is_disjoint_and_covering(tmp_path):
+    """Two sharded servers over one watch root pick up DISJOINT case sets
+    whose union is everything."""
+    from brats2019_tpu.data.synthetic import write_case
+
+    cases = []
+    for i in range(6):
+        d = str(tmp_path / f"BraTS19_SYN_{i:03d}_1")
+        write_case(d, seed=i, shape=(16, 16, 16))
+        cases.append(os.path.basename(d))
+
+    def scan_for(shard):
+        s = _bare_server()
+        s.done = set()
+        s.shard = shard
+        sizes = {}
+        s.scan(str(tmp_path), sizes)  # prime size table
+        return {os.path.basename(d) for d in s.scan(str(tmp_path), sizes)}
+
+    got0, got1 = scan_for((0, 2)), scan_for((1, 2))
+    assert got0 and got1
+    assert got0.isdisjoint(got1)
+    assert got0 | got1 == set(cases)
+
+
 @pytest.mark.slow
 def test_sighup_hot_reload_swaps_weights(tmp_path, monkeypatch):
     """SIGHUP reload: freshly exported weights take effect on the live
