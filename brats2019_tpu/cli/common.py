@@ -269,6 +269,38 @@ def load_ensemble_members(exp: ExperimentConfig, workdirs, primary):
     return members
 
 
+def shard_of(name: str, n: int) -> int:
+    """Stable shard assignment by case name — the SAME on every host and
+    every run (Python's hash() is salted per process, so it cannot be
+    used here)."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % n
+
+
+def parse_shard(spec: str):
+    try:
+        i_s, n_s = spec.split("/")
+        i, n = int(i_s), int(n_s)
+    except ValueError:
+        raise ValueError(f"--shard must be I/N (got {spec!r})")
+    if not (n >= 1 and 0 <= i < n):
+        raise ValueError(f"--shard needs 0 <= I < N (got {spec!r})")
+    return i, n
+
+
+def filter_shard(case_dirs, spec):
+    """Apply an ``I/N`` shard spec to a case list (None = everything);
+    the batch CLIs' scale-out filter."""
+    if not spec:
+        return list(case_dirs)
+    i, n = parse_shard(spec)
+    return [
+        d for d in case_dirs
+        if shard_of(os.path.basename(os.path.normpath(d)), n) == i
+    ]
+
+
 def load_serving_params(exp: ExperimentConfig):
     """Load the serving weights for an experiment: fine always, coarse
     when the cascade wants it — degrading to cascade=False (returned in

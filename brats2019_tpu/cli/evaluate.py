@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluate the checkpoint ensemble of the primary "
                         "--workdir model and each listed workdir's model "
                         "(mean probabilities, as predict --ensemble)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process only the cases whose stable name-hash "
+                        "lands in shard I of N (scale-out batch runs; "
+                        "same assignment as serve --shard)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -83,6 +87,20 @@ def main(argv=None) -> int:
             return 2
         print(f"[evaluate] fold {args.fold}/{args.folds}: "
               f"{len(cases)} case(s)", flush=True)
+    if args.shard:
+        if args.folds is not None:
+            print("error: --shard and --folds are different partitions of "
+                  "the same list; use one", file=sys.stderr)
+            return 2
+        from .common import filter_shard
+
+        try:
+            cases = filter_shard(cases, args.shard)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"[evaluate] shard {args.shard}: {len(cases)} case(s)",
+              flush=True)
     cases = [d for d in cases if seg_path(d)]
     if not cases:
         print(f"error: no labelled cases under {args.root}"

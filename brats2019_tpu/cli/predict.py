@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with halo exchange (single-pass, no TTA/cascade); "
                         "'sweep' = tile x flip work items striped across "
                         "chips with an ROI-restricted psum merge")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process only the cases whose stable name-hash "
+                        "lands in shard I of N (scale-out batch runs; "
+                        "same assignment as serve --shard)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -254,6 +258,18 @@ def main(argv=None) -> int:
     exp = dataclasses.replace(exp, infer=infer)
 
     cases = discover_cases(args.case_dir)
+    if args.shard:
+        from .common import filter_shard
+
+        try:
+            cases = filter_shard(cases, args.shard)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"[predict] shard {args.shard}: {len(cases)} case(s)",
+              flush=True)
+        if not cases:
+            return 0  # a legitimately empty shard is not an error
     if not cases:
         print(f"error: no BraTS case found at {args.case_dir}", file=sys.stderr)
         return 2

@@ -36,7 +36,9 @@ from .common import (
     load_ensemble_members,
     load_serving_params,
     load_stage_params,
+    parse_shard,
     resolve_experiment,
+    shard_of,
 )
 
 # Canonical absl/XLA status codes that mark a RUNTIME hiccup of the device
@@ -163,26 +165,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial retry backoff seconds (doubles per retry)")
     p.add_argument("--seed", type=int, default=None)
     return p
-
-
-def shard_of(name: str, n: int) -> int:
-    """Stable shard assignment by case name — the SAME on every host and
-    every run (Python's hash() is salted per process, so it cannot be
-    used here)."""
-    import zlib
-
-    return zlib.crc32(name.encode()) % n
-
-
-def parse_shard(spec: str) -> tuple:
-    try:
-        i_s, n_s = spec.split("/")
-        i, n = int(i_s), int(n_s)
-    except ValueError:
-        raise ValueError(f"--shard must be I/N (got {spec!r})")
-    if not (n >= 1 and 0 <= i < n):
-        raise ValueError(f"--shard needs 0 <= I < N (got {spec!r})")
-    return i, n
 
 
 def _case_ready(case_dir: str, sizes: dict) -> bool:

@@ -256,6 +256,24 @@ def test_shard_assignment_is_stable_and_partitioning():
             cli_serve.parse_shard(bad)
 
 
+def test_predict_shard_filter_matches_serve(tmp_path):
+    """predict/evaluate --shard use the SAME assignment as serve --shard
+    (one filter_shard helper), so a mixed fleet partitions identically."""
+    from brats2019_tpu.cli.common import filter_shard, shard_of
+
+    dirs = [str(tmp_path / f"BraTS19_SYN_{i:03d}_1") for i in range(10)]
+    got = filter_shard(dirs, "1/3")
+    assert got == [
+        d for d in dirs
+        if shard_of(os.path.basename(d), 3) == 1
+    ]
+    assert filter_shard(dirs, None) == dirs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_shard(dirs, "3/3")
+
+
 def test_shard_scan_is_disjoint_and_covering(tmp_path):
     """Two sharded servers over one watch root pick up DISJOINT case sets
     whose union is everything."""
