@@ -9,6 +9,7 @@ surface, and this module puts a network API on it. Endpoints:
   GET  /metrics                    the same counters, Prometheus format
   GET  /result?case=NAME[&timeout=S]   completion record for one case
   GET  /artifact?case=NAME&kind=pred|probs|unc_*   fetch output files
+  POST /reload                     queue a weight hot-reload (= SIGHUP)
   POST /predict?name=NAME[&timeout=S][&format=json]
        body = tar (optionally gzipped) of the 4 modality NIfTIs
        (Content-Type application/x-tar), or JSON {"case_dir": "/path"}
@@ -366,6 +367,13 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._authorized():
                 raise HttpApiError(401, "missing/invalid Authorization "
                                         "bearer token")
+            if path == "/reload":
+                # HTTP twin of SIGHUP for deployments where signaling the
+                # process is awkward; the swap happens on the daemon loop
+                # (never in a request thread), so this only queues it
+                app.request_reload()
+                self._send_json(202, {"reload": "queued"})
+                return
             if path != "/predict":
                 raise HttpApiError(404, f"unknown path {path!r}")
             try:

@@ -407,6 +407,14 @@ def test_http_serving_end_to_end(tmp_path, monkeypatch):
             assert st_i == 200, (name, rec)
             assert rec["case"] == name and rec.get("error") is None
 
+        # 4f) POST /reload queues the SIGHUP-equivalent weight hot-reload
+        st, body = _post(f"{base}/reload", b"", "application/json")
+        assert st == 202 and json.loads(body)["reload"] == "queued"
+        deadline = time.time() + 30
+        while time.time() < deadline and server._reload:
+            time.sleep(0.1)
+        assert not server._reload  # the daemon loop consumed it
+
         # 5) a corrupt upload is quarantined -> 422 with the error class
         bad = _tar_bytes([
             ("CORRUPT_1_t1.nii.gz", b"junk"), ("CORRUPT_1_t1ce.nii.gz", b"junk"),
