@@ -208,6 +208,41 @@ def test_non_ascii_authorization_is_401_not_dropped(tmp_path):
         httpd.shutdown()
 
 
+def test_keepalive_connection_reuse_and_error_close(tmp_path):
+    """HTTP/1.1 contract: consecutive 200s ride ONE connection (correct
+    Content-Length framing), and an error response closes it (unread
+    bodies must never poison the next request on the socket)."""
+    import http.client
+
+    s = object.__new__(cli_serve.Server)
+    s.results = {}
+    s.results_cv = threading.Condition()
+    s.counters = {"served": 0, "quarantined": 0}
+    s.started_ts = time.time()
+    s.done = set()
+    s._stop = False
+    httpd = http_api.start_http(s, str(tmp_path), 0)
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", httpd.server_address[1], timeout=10
+        )
+        for _ in range(3):  # same socket, three requests
+            conn.request("GET", "/healthz")
+            r = conn.getresponse()
+            assert r.status == 200
+            r.read()
+            assert r.headers.get("Connection") != "close"
+        # an error response instructs close and the server honors it
+        conn.request("GET", "/result?case=NOPE")
+        r = conn.getresponse()
+        assert r.status == 404
+        assert r.headers.get("Connection") == "close"
+        r.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
 def test_latency_summary():
     recs = [
         {"error": None, "batch_wall_s": 2.0, "batch_size": 2},
