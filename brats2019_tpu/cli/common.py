@@ -22,7 +22,7 @@ def resolve_experiment(args) -> ExperimentConfig:
             exp, train=dataclasses.replace(exp.train, steps=args.steps)
         )
     for flag in ("checkpoint_every", "eval_every", "log_every", "ema_decay",
-                 "prep_cache_dir"):
+                 "prep_cache_dir", "rot90_axial", "gamma_range"):
         v = getattr(args, flag, None)
         if v is not None:
             exp = dataclasses.replace(

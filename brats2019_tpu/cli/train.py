@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="track an exponential moving average of the "
                         "weights (e.g. 0.999) inside the optimizer state; "
                         "export it with `export --ema`")
+    p.add_argument("--rot90", dest="rot90_axial", action="store_true",
+                   default=None,
+                   help="augmentation extra: exact axial 90-degree patch "
+                        "rotations (nnU-Net-style; cubic patches)")
+    p.add_argument("--gamma", dest="gamma_range", type=float, default=None,
+                   metavar="R",
+                   help="augmentation extra: per-channel gamma jitter on "
+                        "the normalized patch, gamma in [1/(1+R), 1+R] "
+                        "(0 disables; nnU-Net uses ~0.3)")
     p.add_argument("--init-from", default=None, metavar="PATH",
                    help="warm-start the trained stage's params from an "
                         "exported params.{npz,safetensors} or a reference "

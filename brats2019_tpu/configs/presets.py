@@ -47,6 +47,12 @@ class TrainConfig:
     augment: bool = True
     intensity_scale: float = 0.1
     intensity_shift: float = 0.1
+    # nnU-Net-family extras beyond the reference's flips+jitter, both off
+    # by default (parity): exact axial 90-degree rotations (cubic patches
+    # only) and per-channel gamma on the min-max-normalized patch,
+    # sampled log-symmetric in [1/(1+r), 1+r]
+    rot90_axial: bool = False
+    gamma_range: float = 0.0
     pool_refresh_every: int = 8      # steps between pool slot swaps
     # on-disk cache of prepped cases (z-scored bf16 canvas + labels + fg
     # table) keyed by input signature + prep params — skips gzip inflate /

@@ -171,6 +171,8 @@ def make_sample_local_batch(cfg: TrainConfig) -> Callable:
                     ps,
                     scale_range=cfg.intensity_scale,
                     shift_range=cfg.intensity_shift,
+                    rot90=cfg.rot90_axial,
+                    gamma_range=cfg.gamma_range,
                 )
             return pi, ps
 

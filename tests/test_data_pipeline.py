@@ -150,6 +150,69 @@ def test_intensity_jitter_zero_background():
     assert not np.allclose(out[img != 0], 1.0)  # actually jittered
 
 
+def test_rot90_axial_exact_and_aligned():
+    """rot90 must be a pure permutation (same multiset of voxels), keep
+    image/seg aligned, and reproduce np.rot90 for each sampled k."""
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(8, 8, 4, 2)).astype(np.float32)
+    seg = rng.integers(0, 4, size=(8, 8, 4)).astype(np.int32)
+    seen = set()
+    for s in range(12):
+        key = jax.random.PRNGKey(s)
+        ri, rs = augment.random_rot90_axial(
+            key, jnp.asarray(img), jnp.asarray(seg)
+        )
+        ri, rs = np.asarray(ri), np.asarray(rs)
+        # match against the k that produced it
+        for k in range(4):
+            if np.array_equal(ri, np.rot90(img, k, axes=(0, 1))):
+                np.testing.assert_array_equal(
+                    rs, np.rot90(seg, k, axes=(0, 1))
+                )
+                seen.add(k)
+                break
+        else:
+            raise AssertionError("output matched no np.rot90(k)")
+    assert len(seen) >= 3  # the sampler actually covers the rotations
+
+
+def test_gamma_jitter_properties():
+    """Gamma keeps zeros zero, preserves per-channel min/max (monotone map
+    on the normalized range), and changes interior values."""
+    rng = np.random.default_rng(1)
+    img = np.zeros((8, 8, 8, 4), dtype=np.float32)
+    img[2:7, 2:7, 2:7, :] = rng.normal(size=(5, 5, 5, 4)).astype(np.float32)
+    out = np.asarray(
+        augment.gamma_jitter(jax.random.PRNGKey(3), jnp.asarray(img), 0.5)
+    )
+    assert (out[img == 0] == 0).all()
+    nz = img != 0
+    assert not np.allclose(out[nz], img[nz])
+    for c in range(4):
+        m = nz[..., c]
+        np.testing.assert_allclose(
+            out[..., c][m].min(), img[..., c][m].min(), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            out[..., c][m].max(), img[..., c][m].max(), atol=1e-3
+        )
+
+
+def test_augment_with_extras_in_step_config():
+    """rot90/gamma flow through the full augment() and stay shape/dtype
+    stable under jit (the train step compiles them in)."""
+    img, seg = synthetic.make_case_arrays(seed=5, shape=(16, 16, 16))
+    fn = jax.jit(
+        lambda k: augment.augment(
+            k, jnp.asarray(img), jnp.asarray(seg),
+            rot90=True, gamma_range=0.3,
+        )
+    )
+    ai, as_ = fn(jax.random.PRNGKey(2))
+    assert ai.shape == img.shape and as_.shape == seg.shape
+    assert ai.dtype == img.dtype
+
+
 def test_augment_batch_shapes():
     img, seg = synthetic.make_case_arrays(seed=4, shape=(16, 16, 16))
     imgs = jnp.asarray(np.stack([img] * 4))
