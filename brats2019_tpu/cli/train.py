@@ -99,6 +99,14 @@ def main(argv=None) -> int:
     setup_jax(debug_nans=args.debug_nans)
     initialize_distributed()
     exp = resolve_experiment(args)
+    if exp.train.rot90_axial and (
+        exp.train.patch[0] != exp.train.patch[1]
+        or exp.train.coarse_patch[0] != exp.train.coarse_patch[1]
+    ):
+        print("error: --rot90 needs square (X, Y) patch planes "
+              f"(patch={exp.train.patch}, coarse={exp.train.coarse_patch})",
+              file=sys.stderr)
+        return 2
 
     if not args.data:
         print("error: --data is required (point it at a BraTS root, or use "
