@@ -123,9 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(>1 hedges transfer stalls on bad links)")
     p.add_argument("--batch-volumes", type=int, default=None, choices=(1, 2),
                    help="2 = pair two volumes' fine TTA stages into one "
-                        "b16 device program (~13%% device throughput for "
-                        "co-located serving; couples latency). Only "
-                        "pairing (2) is implemented")
+                        "b16 device program. Measured neutral since the "
+                        "low-res TTA reduce (PERF.md r3 s7); kept "
+                        "for completeness. Only pairing (2) is "
+                        "implemented")
     p.add_argument("--ensemble", default=None, nargs="+", metavar="WORKDIR",
                    help="checkpoint-ensemble serving: average class "
                         "probabilities over the primary --workdir model "

@@ -135,9 +135,11 @@ class InferenceConfig:
     # a no-op beyond the small buffer.
     serving_depth: int = 2
     # co-located serving: 2 = run TWO volumes' fine TTA stages as ONE
-    # batched device program (b16 instead of 2x b8; measured 11.2 vs
-    # 12.9 ms/sample = ~13% device throughput, PERF.md "Cross-volume
-    # batching headroom") at the cost of one volume of latency coupling.
+    # batched device program (b16 instead of 2x b8) at the cost of one
+    # volume of latency coupling. Measured NEUTRAL since the low-res TTA
+    # reduce shipped (83.2 vs 83.5 ms/vol — the round-2 +13% headroom was
+    # idle device time under the old full-res reduce; PERF.md round-3
+    # session 7). Kept for exactness-tested completeness, not recommended.
     # Only pairing is implemented (values >2 behave as 2, and the CLIs
     # restrict the flag to {1,2}). Takes effect only on the split
     # single-tile cascade fast path; odd tails fall back to the
