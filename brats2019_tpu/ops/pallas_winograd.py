@@ -11,28 +11,38 @@ Why this exists (the measured chain that leads here, PERF.md):
   the input and get materialized in HBM — PERF.md "Winograd via XLA").
 
 The one remaining formulation keeps V/M **VMEM-resident**: per grid
-block, transform a compact input block on the VPU, run the 64 per-point
-(T, Ci) @ (Ci, Co) MXU dots with f32 accumulation, inverse-transform,
-and write. MAC count is 27/8 = 3.375x below direct conv, so the quarter-
-MXU core dot (K = N = 64) still has a 2-3x direct-equivalent ceiling
-over the emitter at the 64-channel L0 shapes where the flagship forward
-spends ~35 of its ~85 ms.
+step, transform one d-tile-plane slab on the VPU, run the 64 per-point
+(T, Ci) @ (Ci, Co) MXU dots with f32 accumulation, inverse-transform by
+sign-only accumulation (A^T entries are 0/+-1), and write. MAC count is
+27/8 = 3.375x below direct conv, so the quarter-MXU core dot (K=N=64)
+still has a 2-3x direct-equivalent ceiling over the emitter at the
+64-channel L0 shapes where the flagship forward spends ~35 of its ~85 ms.
 
 Decomposition (exact, matches ``lax.conv_general_dilated`` SAME stride-1
 cross-correlation):
 
-  y = A^T [ (G g G^T ..) .*. (B^T d B ..) ] A ..     per 2^3 output tile
+  y = A^T [ (G g G^T..) .*. (B^T d B..) ] A..     per 2^3 output tile
 
-with F(2,3)'s transform matrices exact in binary fp (entries 0, +-1,
-+-0.5), so numerics stay in the direct bf16-conv rounding class.
+with F(2,3)'s matrices exact in binary fp (entries 0, +-1, +-0.5), so
+numerics stay in the direct bf16-conv rounding class.
 
-Host/XLA side does ONLY two cheap relayouts:
-  * input: pad by 1 and split into the 8 stride-2 phase lattices
-    (x8 shape (B, 8, Td+1, Th+1, Tw+1, Ci) — ~1.1x the input, NOT the
-    8x tiled tensor), so every in-kernel tap is a unit-offset slice;
-  * output: a bitcast reshape (B, Td, 2, Th, 2, Tw, 2, Co) -> NDHWC
-    (contiguous dims only — free), so the kernel writes phase planes
-    with static indices and no strided stores exist anywhere.
+Layout strategy (driven by the Mosaic capability probes in
+tools/exp_mosaic_probe.py — collapse-cast, lane-slice and sublane-slice
+all compile; halo memref_slice DMA does not):
+
+* XLA side pads by 1 and splits the input into the 8 stride-2 phase
+  lattices x8 (B, 8, Td+1, Th+1, Tw+1, Ci) — ~1.1x the input, NOT the
+  8x tiled tensor — so every in-kernel tap is a phase pick plus a
+  unit-offset slice.
+* The kernel grid runs over (batch, d-tile-planes) and receives x8
+  TWICE through plain pipelined BlockSpecs whose index maps differ by
+  one d-row (rows i and i+1): the d-axis halo without any manual DMA.
+  H-taps slice a leading dim (free); W-taps are unit-offset sublane
+  slices (probe P3).
+* Output phases live on a LEADING axis of a flat (8, B*Td, Th*Tw, Co)
+  result — every store is a contiguous 2D block; one XLA transpose
+  interleaves NDHWC. A phase-space consumer (the next Winograd conv)
+  can skip that transpose entirely.
 
 Reference parity surface: the 3^3 convs of SURVEY.md C7/N1 (the
 reference's cuDNN conv3d path); this kernel is the TPU-native
@@ -57,6 +67,9 @@ _G = np.array(
      [0.5, -0.5, 0.5],
      [0.0, 0.0, 1.0]], np.float32)
 
+# A^T = [[1, 1, 1, 0], [0, 1, -1, -1]]: column p -> [(s, sign), ...].
+_AT_TARGETS = ((0, 1),), ((0, 1), (1, 1)), ((0, 1), (1, -1)), ((1, -1),)
+
 
 def transform_weights(w: jnp.ndarray) -> jnp.ndarray:
     """(3,3,3,Ci,Co) -> (64, Ci, Co): U[p] = (G x G x G) g, f32 in/out."""
@@ -66,122 +79,82 @@ def transform_weights(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bt4(x0, x1, x2, x3):
-    """B^T along one axis: 4 taps -> 4 Winograd points (1 add each)."""
+    """B^T along one axis: taps (e[t], o[t], e[t+1], o[t+1]) -> 4 points."""
     return (x0 - x2, x1 + x2, x2 - x1, x1 - x3)
 
 
-def _at2(m0, m1, m2, m3):
-    """A^T along one axis: 4 points -> 2 output phases."""
-    return (m0 + m1 + m2, m1 - m2 - m3)
+def _kernel(u_ref, xa_ref, xb_ref, out_ref, *, th, tw, ci, co, acc_dtype):
+    t_rows = th * tw
 
+    # Output-tile accumulators: y[s][e][f], each (t_rows, co). A^T has
+    # only 0/+-1 entries, so the whole inverse transform is sign-only
+    # accumulation — no multiplies.
+    y = [[[None] * 2 for _ in range(2)] for _ in range(2)]
 
-def _kernel(u_ref, x8_ref, out_ref, xblk, sem, *, tdb, thb, tw, ci, co,
-            m_dtype):
-    b = pl.program_id(0)
-    ib = pl.program_id(1)
-    jb = pl.program_id(2)
-
-    dma = pltpu.make_async_copy(
-        x8_ref.at[b, :, pl.ds(ib * tdb, tdb + 1),
-                  pl.ds(jb * thb, thb + 1), :, :],
-        xblk,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    # ---- input transform: 8 phase blocks -> 64 point blocks (VPU) ----
-    # Taps along an axis at tile t are (e[t], o[t], e[t+1], o[t+1]) of
-    # that axis' even/odd phase lattices — unit-offset slices only.
-    # stage D: (pd in 8ph) -> a[4][ph][pw], each (tdb, thb+1, tw+1, ci)
-    a = [[[None] * 2 for _ in range(2)] for _ in range(4)]
-    for ph in range(2):
+    for p in range(4):
+        # ---- D stage: phase picks from the i / i+1 d-rows (no slicing).
+        # a_p[(ph, pw)]: (th+1, tw+1, ci)
+        a_p = {}
+        for ph in range(2):
+            for pw in range(2):
+                e0 = xa_ref[0, 0 * 4 + ph * 2 + pw, 0]
+                o0 = xa_ref[0, 1 * 4 + ph * 2 + pw, 0]
+                e1 = xb_ref[0, 0 * 4 + ph * 2 + pw, 0]
+                o1 = xb_ref[0, 1 * 4 + ph * 2 + pw, 0]
+                a_p[(ph, pw)] = _bt4(e0, o0, e1, o1)[p]
+        # ---- H stage: leading-dim unit-offset slices (free).
+        # bbq[pw][q]: (th, tw+1, ci)
+        bbq = {}
         for pw in range(2):
-            e = xblk[0 * 4 + ph * 2 + pw]  # pd=0 (even)
-            o = xblk[1 * 4 + ph * 2 + pw]  # pd=1 (odd)
-            res = _bt4(e[:tdb], o[:tdb], e[1:tdb + 1], o[1:tdb + 1])
-            for p, v in enumerate(res):
-                a[p][ph][pw] = v
-    # stage H: -> bb[4][4][pw], each (tdb, thb, tw+1, ci)
-    bb = [[[None] * 2 for _ in range(4)] for _ in range(4)]
-    for pd in range(4):
-        for pw in range(2):
-            e = a[pd][0][pw]
-            o = a[pd][1][pw]
-            res = _bt4(e[:, :thb], o[:, :thb],
-                       e[:, 1:thb + 1], o[:, 1:thb + 1])
-            for q, v in enumerate(res):
-                bb[pd][q][pw] = v
-    # stage W + the per-point MXU dot: V (T, ci) @ U[p] (ci, co) -> M f32
-    t_rows = tdb * thb * tw
-    m = [[[None] * 4 for _ in range(4)] for _ in range(4)]
-    for pd in range(4):
-        for ph in range(4):
-            e = bb[pd][ph][0]
-            o = bb[pd][ph][1]
-            res = _bt4(e[:, :, :tw], o[:, :, :tw],
-                       e[:, :, 1:tw + 1], o[:, :, 1:tw + 1])
-            for r, v in enumerate(res):
-                p = pd * 16 + ph * 4 + r
-                vp = v.reshape(t_rows, ci)
-                m[pd][ph][r] = jnp.dot(
-                    vp, u_ref[p], preferred_element_type=jnp.float32
-                ).astype(m_dtype)
+            e = a_p[(0, pw)]
+            o = a_p[(1, pw)]
+            bbq[pw] = _bt4(e[:th], o[:th], e[1:th + 1], o[1:th + 1])
+        for q in range(4):
+            # ---- W stage: sublane unit-offset slices (probe P3).
+            e = bbq[0][q]
+            o = bbq[1][q]
+            vr = _bt4(e[:, :tw], o[:, :tw], e[:, 1:tw + 1], o[:, 1:tw + 1])
+            for r in range(4):
+                # collapse-cast (probe P1) + the quarter-MXU core dot.
+                v = vr[r].reshape(t_rows, ci)
+                m = jnp.dot(
+                    v, u_ref[p * 16 + q * 4 + r],
+                    preferred_element_type=jnp.float32).astype(acc_dtype)
+                for sd, sgd in _AT_TARGETS[p]:
+                    for sh, sgh in _AT_TARGETS[q]:
+                        for sw, sgw in _AT_TARGETS[r]:
+                            cur = y[sd][sh][sw]
+                            t = m if sgd * sgh * sgw > 0 else -m
+                            y[sd][sh][sw] = t if cur is None else cur + t
 
-    # ---- inverse transform: 64 -> 8 output phase planes (VPU) ----
-    # stage D: 64 -> 32
-    s1 = [[[None] * 4 for _ in range(4)] for _ in range(2)]
-    for ph in range(4):
-        for pw in range(4):
-            res = _at2(m[0][ph][pw], m[1][ph][pw],
-                       m[2][ph][pw], m[3][ph][pw])
-            for sd, v in enumerate(res):
-                s1[sd][ph][pw] = v
-    # stage H: 32 -> 16
-    s2 = [[[None] * 4 for _ in range(2)] for _ in range(2)]
-    for sd in range(2):
-        for pw in range(4):
-            res = _at2(s1[sd][0][pw], s1[sd][1][pw],
-                       s1[sd][2][pw], s1[sd][3][pw])
-            for sh, v in enumerate(res):
-                s2[sd][sh][pw] = v
-    # stage W: 16 -> 8, then write the phase plane (static indices; the
-    # caller's free reshape interleaves them back into NDHWC)
     for sd in range(2):
         for sh in range(2):
-            res = _at2(s2[sd][sh][0], s2[sd][sh][1],
-                       s2[sd][sh][2], s2[sd][sh][3])
-            for sw, v in enumerate(res):
-                y = v.reshape(tdb, thb, tw, co)
-                out_ref[0, :, sd, :, sh, :, sw, :] = y.astype(out_ref.dtype)
+            for sw in range(2):
+                out_ref[sd * 4 + sh * 2 + sw, 0] = (
+                    y[sd][sh][sw].astype(out_ref.dtype))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tdb", "thb", "m_bf16", "interpret"),
-)
+@functools.partial(jax.jit, static_argnames=("acc_bf16", "interpret"))
 def conv3d_winograd(
     x: jnp.ndarray,
     w: jnp.ndarray,
     *,
-    tdb: int = 1,
-    thb: int = 8,
-    m_bf16: bool = False,
+    acc_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """SAME stride-1 3^3 conv, x (B, D, H, W, Ci) bf16, w (3,3,3,Ci,Co).
 
-    Constraints: D % (2*tdb) == 0, H % (2*thb) == 0, W even — satisfied
-    by every conv in the flagship s2d U-Net. f32 accumulation in the
-    core dot; ``m_bf16`` stores the transformed product bf16 to halve
-    VMEM/VPU cost of the inverse at one rounding step of extra error.
+    Requires even D/H/W — satisfied by every conv in the flagship s2d
+    U-Net. f32 accumulation in the core dot; ``acc_bf16`` keeps the
+    inverse-transform accumulators bf16 to halve their VPU/VMEM cost at
+    one extra rounding step.
     """
     B, D, H, W, Ci = x.shape
     k0, k1, k2, wCI, Co = w.shape
     assert (k0, k1, k2) == (3, 3, 3) and wCI == Ci, (w.shape, x.shape)
-    assert D % (2 * tdb) == 0 and H % (2 * thb) == 0 and W % 2 == 0, (
-        (D, H, W), (tdb, thb))
+    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0, (D, H, W)
     td, th, tw = D // 2, H // 2, W // 2
+    t_rows = th * tw
 
     u = transform_weights(w).astype(x.dtype)
 
@@ -194,29 +167,33 @@ def conv3d_winograd(
         .reshape(B, 8, td + 1, th + 1, tw + 1, Ci)
     )
 
-    grid = (B, td // tdb, th // thb)
-    m_dtype = jnp.bfloat16 if m_bf16 else jnp.float32
+    acc_dtype = jnp.bfloat16 if acc_bf16 else jnp.float32
     kernel = functools.partial(
-        _kernel, tdb=tdb, thb=thb, tw=tw, ci=Ci, co=Co, m_dtype=m_dtype)
+        _kernel, th=th, tw=tw, ci=Ci, co=Co, acc_dtype=acc_dtype)
+    slab = (1, 8, 1, th + 1, tw + 1, Ci)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B, td),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # U, replicated
-            pl.BlockSpec(memory_space=pl.ANY),      # x8, halo-DMA'd
+            # The SAME x8 array twice, offset by one d-row: the d-axis
+            # halo via plain pipelined BlockSpecs (no manual DMA).
+            pl.BlockSpec(slab, lambda b, i: (b, 0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(slab, lambda b, i: (b, 0, i + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tdb, 2, thb, 2, tw, 2, Co),
-            lambda b, i, j: (b, i, 0, j, 0, 0, 0, 0),
+            (8, 1, t_rows, Co),
+            lambda b, i: (0, b * td + i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, td, 2, th, 2, tw, 2, Co), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((8, tdb + 1, thb + 1, tw + 1, Ci), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_shape=jax.ShapeDtypeStruct((8, B * td, t_rows, Co), x.dtype),
         interpret=interpret,
-    )(u, x8)
-    # Contiguous-dims-only reshape: a bitcast, not a relayout.
-    return out.reshape(B, D, H, W, Co)
+    )(u, x8, x8)
+    # One XLA transpose interleaves (sd,sh,sw, d-planes, tile rows) back
+    # into NDHWC. A phase-space consumer (the next Winograd conv) can
+    # skip this entirely and read the phase lattices directly.
+    y = out.reshape(2, 2, 2, B, td, th, tw, Co)
+    y = y.transpose(3, 4, 0, 5, 1, 6, 2, 7)
+    return y.reshape(B, D, H, W, Co)
