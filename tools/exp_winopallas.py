@@ -8,7 +8,9 @@ real chip:
 
   stage 1: correctness vs lax.conv_general_dilated at a small shape;
   stage 2: chained timing at the flagship shapes vs the XLA emitter,
-           sweeping the (tdb, thb) block geometry and the M dtype.
+           sweeping acc_bf16 and the thb h-block geometry (the whole
+           64^3 plane overflows scoped VMEM — 27.4 MB vs 16 MB — so
+           the auto-pick blocks h; the sweep checks neighbors).
 
 Ceiling from PERF.md "Winograd via XLA": core dot at K=N=64 is quarter-
 MXU (~49 TF/s) but carries 3.375x fewer MACs => ~165 TF/s direct-
@@ -76,7 +78,7 @@ def check(B, S, CI, CO, acc_bf16):
     return e_pl, e_xla
 
 
-def bench(B, S, CI, CO):
+def bench(B, S, CI, CO, thbs=(None,)):
     x = jax.random.normal(jax.random.PRNGKey(0), (B, S, S, S, CI),
                           jnp.bfloat16)
     w = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, CI, CO),
@@ -93,19 +95,20 @@ def bench(B, S, CI, CO):
     t_x = timed(xla, x, wb)
     print(f"({B},{S}^3,{CI}->{CO}): XLA {t_x*1e3:7.2f} ms "
           f"({flops/t_x/1e12:5.1f} TF/s)", flush=True)
-    for acc_bf16 in (False, True):
-        try:
-            def f(x, w, acc_bf16=acc_bf16):
-                return conv3d_winograd(x, w, acc_bf16=acc_bf16)
-            t = timed(f, x, w)
-            print(f"    wino acc_bf16={int(acc_bf16)}: "
-                  f"{t*1e3:7.2f} ms (core {wflops/t/1e12:5.1f} TF/s, "
-                  f"dir-equiv {flops/t/1e12:5.1f} TF/s) "
-                  f"{'WIN' if t < t_x else 'lose'} {t_x/t:4.2f}x",
-                  flush=True)
-        except Exception as e:  # noqa: BLE001 - record compile failures
-            print(f"    wino acc_bf16={int(acc_bf16)}: "
-                  f"FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
+    for thb in thbs:
+        for acc_bf16 in (False, True):
+            try:
+                def f(x, w, acc_bf16=acc_bf16, thb=thb):
+                    return conv3d_winograd(x, w, acc_bf16=acc_bf16, thb=thb)
+                t = timed(f, x, w)
+                print(f"    wino thb={thb} acc_bf16={int(acc_bf16)}: "
+                      f"{t*1e3:7.2f} ms (core {wflops/t/1e12:5.1f} TF/s, "
+                      f"dir-equiv {flops/t/1e12:5.1f} TF/s) "
+                      f"{'WIN' if t < t_x else 'lose'} {t_x/t:4.2f}x",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001 - record compile failures
+                print(f"    wino thb={thb} acc_bf16={int(acc_bf16)}: "
+                      f"FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 def main():
@@ -115,8 +118,8 @@ def main():
     check(1, 32, 64, 64, False)
     check(1, 32, 64, 64, True)
     print("== stage 2: flagship-shape timing ==", flush=True)
-    bench(8, 64, 32, 64)
-    bench(8, 64, 64, 64)
+    bench(8, 64, 32, 64, thbs=(None, 8, 4))
+    bench(8, 64, 64, 64, thbs=(None, 8, 4))
     bench(8, 32, 64, 128)
     bench(8, 32, 128, 128)
 
