@@ -75,12 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "members share one compiled program — params are "
                         "traced arguments, so extra members add zero "
                         "recompiles. Not available with --multichip")
-    p.add_argument("--multichip", default=None, choices=("spatial", "sweep"),
+    p.add_argument("--multichip", default=None,
+                   choices=("spatial", "sweep", "cascade"),
                    help="run inference over ALL local devices as one mesh: "
-                        "'spatial' = whole-volume forward, X axis sharded "
-                        "with halo exchange (single-pass, no TTA/cascade); "
-                        "'sweep' = tile x flip work items striped across "
-                        "chips with an ROI-restricted psum merge")
+                        "'cascade' = the FLAGSHIP program distributed "
+                        "(coarse stage replicated, fine ROI tile x flip "
+                        "items striped, low-res TTA reduce, one ROI psum) — "
+                        "produces the single-device cascade predictor's "
+                        "masks; 'spatial' = whole-volume forward, X axis "
+                        "sharded with halo exchange (single-pass, no "
+                        "TTA/cascade); 'sweep' = tile x flip work items "
+                        "striped across chips (single-stage, no cascade)")
     p.add_argument("--shard", default=None, metavar="I/N",
                    help="process only the cases whose stable name-hash "
                         "lands in shard I of N (scale-out batch runs; "
@@ -89,10 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _predict_multichip(args, exp, params_fine, cases) -> int:
-    """--multichip {spatial,sweep}: whole-volume inference over a mesh of
-    ALL local devices (infer/multichip.py). Config-5-style serving as a
-    command (VERDICT round-2 #9)."""
+def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
+    """--multichip {cascade,spatial,sweep}: whole-volume inference over a
+    mesh of ALL local devices (infer/multichip.py). Config-5-style serving
+    as a command (VERDICT round-2 #9; round-3 #3 adds the cascade-parity
+    mode)."""
     import os
 
     import numpy as np
@@ -102,15 +108,18 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
     from ..infer.multichip import MultichipPredictor
     from ..utils.nifti import write_nifti
 
-    # the mesh decompositions are single-stage whole-canvas programs; say
-    # so instead of silently dropping knobs the single-device path honors
-    if exp.infer.cascade and exp.coarse_unet is not None:
-        print("note: --multichip runs a single-stage whole-canvas "
-              "decomposition; the preset's coarse/fine cascade is bypassed. "
-              "'sweep' reproduces the single-device no-cascade tiled sweep; "
-              "'spatial' is ONE whole-volume forward (no TTA, no sliding "
-              "window, whole-volume InstanceNorm stats) — masks are close "
-              "but not identical to the tiled path",
+    # spatial/sweep are single-stage whole-canvas programs; say so instead
+    # of silently dropping knobs the single-device path honors ('cascade'
+    # IS the flagship decomposition — no bypass to warn about)
+    if (args.multichip != "cascade" and exp.infer.cascade
+            and exp.coarse_unet is not None):
+        print("note: --multichip spatial/sweep run a single-stage "
+              "whole-canvas decomposition; the preset's coarse/fine cascade "
+              "is bypassed (use --multichip cascade for flagship-parity "
+              "masks). 'sweep' reproduces the single-device no-cascade "
+              "tiled sweep; 'spatial' is ONE whole-volume forward (no TTA, "
+              "no sliding window, whole-volume InstanceNorm stats) — masks "
+              "are close but not identical to the tiled path",
               file=sys.stderr)
     if exp.infer.postproc == "device":
         print("note: --multichip postprocesses on the host "
@@ -124,7 +133,9 @@ def _predict_multichip(args, exp, params_fine, cases) -> int:
                   file=sys.stderr)
 
     try:
-        mp = MultichipPredictor(exp, params_fine, mode=args.multichip)
+        mp = MultichipPredictor(
+            exp, params_fine, mode=args.multichip, params_coarse=params_coarse
+        )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -303,7 +314,7 @@ def main(argv=None) -> int:
             print("error: --ensemble is not available with --multichip",
                   file=sys.stderr)
             return 2
-        return _predict_multichip(args, exp, params_fine, cases)
+        return _predict_multichip(args, exp, params_fine, params_coarse, cases)
 
     if args.ensemble:
         return _predict_ensemble(

@@ -2,7 +2,7 @@
 docs/MULTIHOST.md "Inference at scale"; VERDICT round-2 #9: expose the
 mesh decompositions through the CLI, not just the library).
 
-Two decompositions over a ``('data',)`` device mesh:
+Three decompositions over a ``('data',)`` device mesh:
 
 * ``spatial`` — ONE whole-volume forward, the volume's X axis sharded
   across chips with ppermute halo exchange for conv/resize boundary
@@ -13,22 +13,31 @@ Two decompositions over a ``('data',)`` device mesh:
   across chips, each device blending its items into an ROI-restricted
   canvas merged by one psum (parallel/spatial.py). Works for any mesh
   size; throughput-optimal for the tiled config-4 shape.
+* ``cascade`` — the FLAGSHIP program's decomposition (VERDICT round-3
+  #3): the coarse localization stage replicated on every device (cheap,
+  no collective), the fine ROI's (tile x flip) work items striped across
+  the mesh, the TTA reduce in the low-res block form, one ROI-sized
+  psum. Produces the cascade predictor's masks at mesh-parallel cost.
 
-Both consume the standard trained UNet3D parameter pytree. They are
-SINGLE-STAGE whole-canvas decompositions: the coarse/fine cascade does
-not apply, and their parity contracts differ:
+All consume the standard trained UNet3D parameter pytree(s). Parity
+contracts:
 
+* ``cascade`` matches the single-device CASCADE Predictor (the flagship
+  path: coarse localization + fine ROI + 8-flip TTA + blending) —
+  validated on the 8-virtual-device CPU mesh,
+  tests/test_multichip_cli.py::test_multichip_cascade_*.
 * ``sweep`` runs the SAME tile grid/blending/TTA as the single-device
   predictor with ``cascade=False`` — masks match it (validated on the
-  8-virtual-device CPU mesh, tests/test_multichip_cli.py).
+  8-virtual-device CPU mesh, tests/test_multichip_cli.py). Single-stage:
+  the coarse stage is bypassed.
 * ``spatial`` is ONE whole-volume forward: no TTA, no sliding window,
   and InstanceNorm statistics over the whole volume instead of per tile.
   Its parity reference is the UNSHARDED whole-volume forward (exact,
   tests/test_spatial_unet.py) — masks are close to, but not identical
-  to, the tiled path's.
+  to, the tiled path's (measured delta: docs/MULTIHOST.md).
 
-The predict CLI prints a notice spelling this out when a cascade
-preset's coarse stage is being bypassed.
+The predict CLI prints a notice when spatial/sweep bypass a cascade
+preset's coarse stage; ``--multichip cascade`` is the mode that doesn't.
 """
 
 from __future__ import annotations
@@ -67,9 +76,12 @@ class MultichipPredictor:
         params_fine,
         mode: str = "sweep",
         env: Optional[MeshEnv] = None,
+        params_coarse=None,
     ):
-        if mode not in ("spatial", "sweep"):
-            raise ValueError(f"multichip mode must be spatial|sweep, got {mode!r}")
+        if mode not in ("spatial", "sweep", "cascade"):
+            raise ValueError(
+                f"multichip mode must be spatial|sweep|cascade, got {mode!r}"
+            )
         self.exp = exp
         self.mode = mode
         self.env = env or make_mesh()
@@ -80,7 +92,41 @@ class MultichipPredictor:
         # full remote compile when the cache is cold)
         self._zscore = jax.jit(lambda v: zscore(v.astype(jnp.float32)))
         ucfg = exp.unet
-        if mode == "spatial":
+        if mode == "cascade":
+            from ..models.unet3d import UNet3D
+            from ..parallel.spatial import distributed_cascade_sweep
+
+            if not (exp.infer.cascade and exp.coarse_unet is not None):
+                raise ValueError(
+                    "--multichip cascade needs a cascade preset (coarse_unet "
+                    "set and infer.cascade on); use --multichip sweep for "
+                    "single-stage configs"
+                )
+            if params_coarse is None:
+                raise ValueError(
+                    "--multichip cascade needs the trained coarse-stage "
+                    "params (no coarse checkpoint found?)"
+                )
+            self.params_coarse = jax.device_put(
+                params_coarse, self.env.replicated()
+            )
+            fine_model = UNet3D(ucfg)
+            coarse_model = UNet3D(exp.coarse_unet)
+            self._cascade = distributed_cascade_sweep(
+                lambda p, x: fine_model.apply(p, x),
+                lambda p, x: coarse_model.apply(p, x),
+                self.env,
+                exp.infer,
+                self.canvas,
+                ucfg.num_classes,
+                self.params,
+                self.params_coarse,
+                stem=ucfg.stem_downsample,
+                fine_lowres_apply=lambda p, x: fine_model.apply(
+                    p, x, subpixel=False
+                ),
+            )
+        elif mode == "spatial":
             from ..parallel.spatial_unet import make_spatial_unet
 
             req = ucfg.min_spatial * self.env.n_data
@@ -123,6 +169,22 @@ class MultichipPredictor:
         # same prep chain as the single-device Predictor (crop/cast, then
         # the DEVICE z-score) so masks match it, not just approximate it
         canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
+        if self.mode == "cascade":
+            # z-score runs INSIDE the mesh program (exactly where the
+            # single-device cascade program runs it); the device returns
+            # ROI labels + placement, pasted host-side like Predictor
+            labels_r, start = self._cascade(jnp.asarray(canvas_img))
+            labels_c = np.zeros(self.canvas, np.uint8)
+            sx, sy, sz = (int(v) for v in np.asarray(jax.device_get(start)))
+            lr = np.asarray(jax.device_get(labels_r))
+            rx, ry, rz = lr.shape
+            labels_c[sx:sx + rx, sy:sy + ry, sz:sz + rz] = lr
+            labels = uncrop_labels(labels_c, bbox.shape, bbox, self.canvas)
+            return postprocess_labels(
+                labels,
+                min_component_voxels=self.exp.infer.min_component_voxels,
+                et_min_voxels=self.exp.infer.et_min_voxels,
+            )
         x = self._zscore(jnp.asarray(canvas_img))
         if self.mode == "spatial":
             logits = self._fwd(self.params, jnp.asarray(x))

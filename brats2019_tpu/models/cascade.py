@@ -26,6 +26,50 @@ from ..infer.tiling import blend_weight, sliding_window_probs, tile_origins
 from ..infer.tta import tta_probs, tta_reduce, tta_stack
 
 
+def coarse_locate(
+    coarse_apply: Callable,
+    params_coarse,
+    image: jnp.ndarray,
+    cfg: InferenceConfig,
+    canvas: Tuple[int, int, int],
+    roi: Tuple[int, int, int],
+):
+    """Stage-1 localization: coarse forward on the resized canvas, tumor-bbox
+    center mapped back to canvas coordinates, clamped fixed-size ROI slice.
+    ONE module-level definition shared by the single-device predict programs
+    (make_predict_fn) and the mesh-distributed cascade sweep
+    (parallel/spatial.py distributed_cascade_sweep) — their output-parity
+    tests assume identical localization semantics, so they must share code,
+    not mirror it. ``image`` is the already z-scored (X, Y, Z, C) canvas.
+    Returns (region (roi + (C,)), start (3,) int32)."""
+    coarse_in = resize_trilinear(image, cfg.coarse_shape)
+    logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
+    tumor = jnp.argmax(logits_c, axis=-1) > 0
+    center_c = mask_bbox_center(tumor)
+    scale = jnp.array(
+        [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
+    )
+    center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
+    start = centered_crop_start(center, roi, canvas)
+    o = (start[0], start[1], start[2], jnp.int32(0))
+    region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
+    return region, start
+
+
+def lowres_blend_weight(
+    weight_np: np.ndarray, tile: Tuple[int, int, int], stem: int
+) -> np.ndarray:
+    """Blend weight in low-res block form:
+    (tx, ty, tz, 1) -> (tx/r, ty/r, tz/r, r, r, r, 1) — the space-to-depth
+    rearrange of the full-res weight, so low-res blended accumulation is
+    the exact permutation of full-res blended accumulation. Shared by the
+    staged sweep below and the distributed cascade sweep."""
+    r = stem
+    return weight_np.reshape(
+        tile[0] // r, r, tile[1] // r, r, tile[2] // r, r, 1
+    ).transpose(0, 2, 4, 1, 3, 5, 6)
+
+
 def make_predict_fn(
     fine_apply: Callable,
     cfg: InferenceConfig,
@@ -84,23 +128,9 @@ def make_predict_fn(
         )
 
     def _coarse_roi(params_coarse, image):
-        """Stage-1 localization: coarse forward on the resized canvas,
-        tumor-bbox center mapped back to canvas coordinates, clamped
-        fixed-size ROI slice. ONE definition shared by the monolithic,
-        staged-sweep, and split paths (whose output-parity tests assume
-        identical localization semantics)."""
-        coarse_in = resize_trilinear(image, cfg.coarse_shape)
-        logits_c = coarse_apply(params_coarse, coarse_in[None])[0]
-        tumor = jnp.argmax(logits_c, axis=-1) > 0
-        center_c = mask_bbox_center(tumor)
-        scale = jnp.array(
-            [c / s for c, s in zip(canvas, cfg.coarse_shape)], jnp.float32
-        )
-        center = (center_c.astype(jnp.float32) * scale).astype(jnp.int32)
-        start = centered_crop_start(center, roi, canvas)
-        o = (start[0], start[1], start[2], jnp.int32(0))
-        region = jax.lax.dynamic_slice(image, o, roi + (image.shape[-1],))
-        return region, start
+        """Module-level coarse_locate bound to this config (shared with the
+        distributed cascade sweep — see coarse_locate's docstring)."""
+        return coarse_locate(coarse_apply, params_coarse, image, cfg, canvas, roi)
 
     def _monolithic_probs(params_fine, params_coarse, image):
         """z-score + (cascade ROI) + blended sliding-window TTA mean
@@ -226,9 +256,7 @@ def make_predict_fn(
         tile_lr = tuple(t // r for t in tile)
         sweep_lr = tuple(s // r for s in sweep_shape)
         # blend weight in low-res block form: (tx/r, ty/r, tz/r, r, r, r, 1)
-        w_lr_np = weight_np.reshape(
-            tile[0] // r, r, tile[1] // r, r, tile[2] // r, r, 1
-        ).transpose(0, 2, 4, 1, 3, 5, 6)
+        w_lr_np = lowres_blend_weight(weight_np, tile, r)
 
         def stage_sweep_stack(params_coarse, image):
             """z-score (+ coarse localization/ROI slice when cascading) +

@@ -21,7 +21,7 @@ tested against the single-device oracle on the 8-virtual-CPU mesh
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,19 +156,9 @@ def distributed_tile_sweep(
 
     # work items = flips x origins, relative to the ROI
     rel = (origins - roi_lo[None, :]).astype(np.int32)
-    items_o = np.concatenate([rel] * n_flips, axis=0)
-    items_f = np.repeat(np.arange(n_flips, dtype=np.int32), origins.shape[0])
-    n = items_o.shape[0]
-    pad = (-n) % n_dev
-    items_o = np.concatenate([items_o, np.tile(rel[:1], (pad, 1))], axis=0)
-    items_f = np.concatenate([items_f, np.zeros((pad,), np.int32)])
-    valid = np.concatenate(
-        [np.ones((n,), np.float32), np.zeros((pad,), np.float32)]
+    origins_sharded, flips_sharded, valid_sharded = _stripe_items(
+        rel, n_flips, n_dev
     )
-    per_dev = items_o.shape[0] // n_dev
-    origins_sharded = items_o.reshape(n_dev, per_dev, 3)
-    flips_sharded = items_f.reshape(n_dev, per_dev)
-    valid_sharded = valid.reshape(n_dev, per_dev)
 
     has_params = params is not None
 
@@ -238,5 +228,202 @@ def distributed_tile_sweep(
         if has_params:
             args = args + (params,)
         return jit_sharded(*args)
+
+    return run
+
+
+def _stripe_items(
+    origins: np.ndarray, n_flips: int, n_dev: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tile origin x flip) work items striped over n_dev devices, padded
+    with zero-weight repeats of origins[0]: returns (origins (n_dev, per,
+    3), flips (n_dev, per), valid (n_dev, per)). The striping used by both
+    distributed sweeps."""
+    items_o = np.concatenate([origins.astype(np.int32)] * n_flips, axis=0)
+    items_f = np.repeat(np.arange(n_flips, dtype=np.int32), origins.shape[0])
+    n = items_o.shape[0]
+    pad = (-n) % n_dev
+    items_o = np.concatenate(
+        [items_o, np.tile(items_o[:1], (pad, 1))], axis=0
+    )
+    items_f = np.concatenate([items_f, np.zeros((pad,), np.int32)])
+    valid = np.concatenate(
+        [np.ones((n,), np.float32), np.zeros((pad,), np.float32)]
+    )
+    per = items_o.shape[0] // n_dev
+    return (
+        items_o.reshape(n_dev, per, 3),
+        items_f.reshape(n_dev, per),
+        valid.reshape(n_dev, per),
+    )
+
+
+def _maybe_flip_blocks(p: jnp.ndarray, flip_id: jnp.ndarray) -> jnp.ndarray:
+    """Low-res block-form flip of (d, h, w, r, r, r, K) probabilities per
+    the bits of a TRACED flip_id: a full-res flip is a low-res flip plus
+    the matching r-block bit swap (models/cascade.py _lowres_mean_probs,
+    PERF.md round 3 'Low-res TTA reduce'). Involution, like _maybe_flip."""
+    fx, fy, fz = _flip_bits(flip_id)
+    p = jax.lax.select(fx > 0, jnp.flip(p, (0, 3)), p)
+    p = jax.lax.select(fy > 0, jnp.flip(p, (1, 4)), p)
+    p = jax.lax.select(fz > 0, jnp.flip(p, (2, 5)), p)
+    return p
+
+
+def distributed_cascade_sweep(
+    fine_apply: Callable,
+    coarse_apply: Callable,
+    env: MeshEnv,
+    cfg,                                   # InferenceConfig
+    canvas: Tuple[int, int, int],
+    num_classes: int,
+    params_fine,
+    params_coarse,
+    stem: int = 1,
+    fine_lowres_apply: Optional[Callable] = None,
+) -> Callable:
+    """Cascade-aware multi-chip inference: the FLAGSHIP predict program's
+    decomposition over a device mesh (VERDICT round-3 #3).
+
+    The single-stage ``distributed_tile_sweep`` bypasses the coarse->fine
+    cascade; this one reproduces the flagship path's masks:
+
+    * the coarse localization stage is REPLICATED — every device runs the
+      (cheap, ~4% of flagship FLOPs) coarse forward + bbox reduction on its
+      replicated canvas copy, so the ROI handoff needs no collective at all;
+    * the fine ROI's (tile x flip) work items are striped across the mesh
+      (same striping as ``distributed_tile_sweep``), each device blends its
+      items into an ROI-sized low-res block canvas, and ONE psum of the
+      weighted canvases merges the mesh — O(roi/stem^3 * stem^3 * K) =
+      O(roi * K) ICI bytes per device;
+    * the TTA reduce runs in the low-res block form on the pre-depth-to-
+      space head output (models/cascade.py ``_lowres_mean_probs`` algebra:
+      groupwise softmax -> store-dtype cast -> block unflip -> f32 weighted
+      accumulation), the same value-for-value computation as the
+      single-device split/staged paths.
+
+    Localization semantics are shared BY CODE with the single-device
+    programs (models.cascade.coarse_locate). Mask parity vs the
+    single-device cascade Predictor is pinned on the 8-virtual-device CPU
+    mesh (tests/test_multichip_cli.py::test_multichip_cascade_*).
+
+    Returns fn(image (X, Y, Z, C) RAW canvas, replicated) ->
+    (labels_roi uint8 (roi), start int32 (3,)) — the same contract as the
+    single-device predict program: z-score happens in-graph; the host
+    pastes the ROI and un-crops.
+    """
+    from ..data.preprocess import zscore
+    from ..infer.tiling import blend_weight, tile_origins
+    from ..models.cascade import coarse_locate, lowres_blend_weight
+
+    tile = tuple(cfg.tile)
+    roi = tuple(min(r, c) for r, c in zip(cfg.roi_shape, canvas))
+    origins_np = tile_origins(roi, tile, cfg.overlap)
+    weight_np = blend_weight(tile, cfg.blend, cfg.gaussian_sigma_frac)
+    n_flips = 8 if cfg.tta_flips else 1
+    n_dev = env.n_data
+    store_dt = (
+        jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32
+    )
+
+    use_lowres = (
+        cfg.tta_flips
+        and fine_lowres_apply is not None
+        and stem > 1
+        and all(t % stem == 0 for t in tile)
+        and all(s % stem == 0 for s in roi)
+        and bool((np.asarray(origins_np) % stem == 0).all())
+    )
+
+    o_sh, f_sh, v_sh = _stripe_items(np.asarray(origins_np), n_flips, n_dev)
+    r = stem
+    if use_lowres:
+        w_np = lowres_blend_weight(weight_np, tile, r)
+        tile_acc = tuple(t // r for t in tile) + (r, r, r)
+        roi_acc = tuple(s // r for s in roi) + (r, r, r)
+    else:
+        w_np = weight_np
+        tile_acc = tile
+        roi_acc = roi
+
+    def local(vol_raw, origins_l, flips_l, valid_l, weight, pf, pc):
+        origins_l, flips_l, valid_l = origins_l[0], flips_l[0], valid_l[0]
+        image = zscore(vol_raw.astype(jnp.float32))
+        region, start = coarse_locate(coarse_apply, pc, image, cfg, canvas, roi)
+
+        canvas_p = jnp.zeros(roi_acc + (num_classes,), jnp.float32)
+        wsum = jnp.zeros(roi_acc + (1,), jnp.float32)
+
+        def body(carry, inp):
+            canvas_p, wsum = carry
+            origin, flip_id, v = inp
+            o_full = (origin[0], origin[1], origin[2], jnp.int32(0))
+            patch = jax.lax.dynamic_slice(
+                region, o_full, tile + (region.shape[-1],)
+            )
+            if cfg.tta_flips:
+                # match the single-device tta_stack: store-dtype cast on
+                # the INPUT stack (cast and flip commute elementwise)
+                patch = patch.astype(store_dt)
+            patch = _maybe_flip(patch, flip_id)
+            if use_lowres:
+                logits_lr = fine_lowres_apply(pf, patch[None])[0]
+                d, h, w_, _ = logits_lr.shape
+                g = logits_lr.reshape(d, h, w_, r, r, r, num_classes)
+                p = jax.nn.softmax(g.astype(jnp.float32), -1).astype(store_dt)
+                p = _maybe_flip_blocks(p, flip_id)
+                o = (origin[0] // r, origin[1] // r, origin[2] // r,
+                     jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            else:
+                logits = fine_apply(pf, patch[None])[0]
+                p = jax.nn.softmax(logits.astype(jnp.float32), -1)
+                if cfg.tta_flips:
+                    p = p.astype(store_dt)
+                p = _maybe_flip(p, flip_id)
+                o = (origin[0], origin[1], origin[2], jnp.int32(0))
+            wv = weight * v
+            cur = jax.lax.dynamic_slice(
+                canvas_p, o, tile_acc + (num_classes,)
+            )
+            canvas_p = jax.lax.dynamic_update_slice(
+                canvas_p, cur + p.astype(jnp.float32) * wv, o
+            )
+            curw = jax.lax.dynamic_slice(wsum, o, tile_acc + (1,))
+            wsum = jax.lax.dynamic_update_slice(wsum, curw + wv, o)
+            return (canvas_p, wsum), None
+
+        (canvas_p, wsum), _ = jax.lax.scan(
+            body, (canvas_p, wsum), (origins_l, flips_l, valid_l)
+        )
+        canvas_p = jax.lax.psum(canvas_p, DATA_AXIS)  # ROI-sized collective
+        wsum = jax.lax.psum(wsum, DATA_AXIS)
+        probs = canvas_p / jnp.maximum(wsum, 1e-8)
+        if use_lowres:
+            blk = jnp.argmax(probs, -1).astype(jnp.uint8)  # (d,h,w,r,r,r)
+            d, h, w_ = blk.shape[:3]
+            labels = blk.transpose(0, 3, 1, 4, 2, 5).reshape(
+                d * r, h * r, w_ * r
+            )
+        else:
+            labels = jnp.argmax(probs, -1).astype(jnp.uint8)
+        return labels, start
+
+    sharded = jax.shard_map(
+        local,
+        mesh=env.mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # psum / replicated-compute outputs by construction
+    )
+    o_dev = jnp.asarray(o_sh)
+    f_dev = jnp.asarray(f_sh)
+    v_dev = jnp.asarray(v_sh)
+    w_dev = jnp.asarray(w_np)
+    jit_sharded = jax.jit(sharded)
+
+    def run(vol):
+        return jit_sharded(
+            vol, o_dev, f_dev, v_dev, w_dev, params_fine, params_coarse
+        )
 
     return run

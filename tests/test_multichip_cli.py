@@ -81,6 +81,83 @@ def test_multichip_spatial_matches_unsharded_forward():
     assert (got == ref).mean() > 0.999
 
 
+# cascade-parity mode fixtures: s2d-stem fine net (exercises the low-res
+# TTA reduce, like the flagship) + plain coarse net
+CASC_UCFG = UNetConfig(
+    levels=2, base_features=4, max_features=8, stem_downsample=2,
+    compute_dtype="float32",
+)
+COARSE_UCFG = UNetConfig(
+    levels=2, base_features=4, max_features=8, compute_dtype="float32"
+)
+
+
+def _cascade_exp(roi=(16, 16, 16)):
+    return ExperimentConfig(
+        name="mc_casc",
+        unet=CASC_UCFG,
+        coarse_unet=COARSE_UCFG,
+        train=TrainConfig(pool_shape=(32, 32, 32)),
+        infer=InferenceConfig(
+            canvas=None, tile=(16, 16, 16), cascade=True, tta_flips=True,
+            roi_shape=roi, coarse_shape=(16, 16, 16),
+            min_component_voxels=0, et_min_voxels=0,
+            compute_dtype="float32", tta_precision="float32",
+        ),
+    )
+
+
+def _cascade_params():
+    x0 = jnp.zeros((1, 16, 16, 16, 4))
+    pf = UNet3D(CASC_UCFG).init(jax.random.PRNGKey(3), x0)
+    pc = UNet3D(COARSE_UCFG).init(jax.random.PRNGKey(4), x0)
+    return pf, pc
+
+
+def test_multichip_cascade_matches_single_device_flagship():
+    """VERDICT round-3 #3 done-bar: --multichip cascade masks == the
+    single-device CASCADE predictor's masks (the flagship split path:
+    coarse localization + single-tile fine ROI + 8-flip low-res TTA
+    reduce) on the 8-virtual-device CPU mesh."""
+    exp = _cascade_exp()
+    pf, pc = _cascade_params()
+    image, _ = make_case_arrays(seed=23, shape=(40, 36, 28))
+    ref, _ = Predictor(exp, pf, pc).predict_arrays(image)
+    got = MultichipPredictor(
+        exp, pf, mode="cascade", params_coarse=pc
+    ).predict_arrays(image)
+    assert got.shape == ref.shape
+    assert (got == ref).mean() > 0.999
+
+
+def test_multichip_cascade_matches_staged_multitile_sweep():
+    """Multi-tile ROI: the distributed cascade's blended accumulation must
+    match the single-device STAGED sweep (8 tiles x 8 flips here — blending
+    weights, low-res reduce, and ROI placement all in play)."""
+    exp = _cascade_exp(roi=(24, 24, 24))
+    pf, pc = _cascade_params()
+    image, _ = make_case_arrays(seed=24, shape=(40, 36, 28))
+    ref, _ = Predictor(exp, pf, pc).predict_arrays(image)
+    got = MultichipPredictor(
+        exp, pf, mode="cascade", params_coarse=pc
+    ).predict_arrays(image)
+    assert got.shape == ref.shape
+    assert (got == ref).mean() > 0.999
+
+
+def test_multichip_cascade_requires_cascade_preset():
+    exp = _exp(tta=True)  # no coarse net
+    with pytest.raises(ValueError, match="cascade preset"):
+        MultichipPredictor(exp, _params(), mode="cascade")
+
+
+def test_multichip_cascade_requires_coarse_params():
+    exp = _cascade_exp()
+    pf, _ = _cascade_params()
+    with pytest.raises(ValueError, match="coarse-stage params"):
+        MultichipPredictor(exp, pf, mode="cascade", params_coarse=None)
+
+
 def test_multichip_spatial_rejects_indivisible_canvas():
     exp = _exp(tta=False)
     exp = dataclasses.replace(
