@@ -83,7 +83,11 @@ def main() -> int:
     )
     predictor = Predictor(exp, params_fine, params_coarse)
 
-    # distinct synthetic cases so host preproc isn't trivially cached
+    # 4 distinct synthetic cases, streamed repeatedly. Since round 4 the
+    # predictor memoizes repeat in-memory volumes' transfer payloads
+    # (InferenceConfig.payload_memo_volumes, VERDICT r3 #5), so after the
+    # first pass the e2e number measures transfer+device+postproc cadence
+    # on a repeat-heavy stream — the serving scenario the cache targets.
     log("bench: generating synthetic cases ...")
     cases = [
         make_case_arrays(seed=i, shape=(240, 240, 155))[0] for i in range(4)

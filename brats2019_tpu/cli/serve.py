@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "two-phase CC costs ~17 ms on-device vs ~108 ms "
                         "host scipy, and the 1-core serving host is the "
                         "throughput wall (PERF.md round 3)")
+    p.add_argument("--prep-cache", default=None, metavar="DIR",
+                   help="on-disk transfer-payload cache: repeat arrivals "
+                        "of the same case files skip NIfTI gzip decode + "
+                        "brain-bbox scan + crop/cast (payload is bitwise "
+                        "what the uncached path ships; VERDICT r3 #5)")
     p.add_argument("--serving-depth", type=int, default=None,
                    help="volumes concurrently in host prep/postprocess "
                         "(>1 hedges transfer stalls on bad links)")
@@ -545,6 +550,8 @@ def main(argv=None) -> int:
         infer = dataclasses.replace(infer, postproc=args.postproc)
     if args.serving_depth:
         infer = dataclasses.replace(infer, serving_depth=args.serving_depth)
+    if args.prep_cache:
+        infer = dataclasses.replace(infer, prep_cache_dir=args.prep_cache)
     if args.batch_volumes:
         infer = dataclasses.replace(infer, batch_volumes=args.batch_volumes)
     exp = dataclasses.replace(exp, infer=infer)

@@ -102,25 +102,31 @@ def prepare_training_case(
     }
 
 
+def _case_signature_hash(case_dir: str, with_seg: bool = True) -> str:
+    """sha1 of the (mtime_ns, size) signature of every input file — editing
+    or re-uploading a case invalidates any cache entry keyed on this.
+    st_mtime_ns, not whole seconds: a case rewritten within the same second
+    with unchanged sizes must still invalidate its entry."""
+    import hashlib
+
+    paths = list(modality_paths(case_dir))
+    if with_seg:
+        sp = seg_path(case_dir)
+        if sp:
+            paths.append(sp)
+    sig = "|".join(
+        f"{os.path.basename(p)}:{os.stat(p).st_mtime_ns}:{os.path.getsize(p)}"
+        for p in paths
+    )
+    return hashlib.sha1(sig.encode()).hexdigest()[:16]
+
+
 def _prep_cache_path(
     cache_dir: str, case_dir: str, canvas, downsample: int
 ) -> str:
     """Cache filename keyed by everything that determines the prep output:
-    version, canvas, downsample, and an (mtime,size) signature of every
-    input file — editing or re-uploading a case invalidates its entry."""
-    import hashlib
-
-    paths = list(modality_paths(case_dir))
-    sp = seg_path(case_dir)
-    if sp:
-        paths.append(sp)
-    sig = "|".join(
-        # st_mtime_ns, not whole seconds: a case rewritten within the same
-        # second with unchanged sizes must still invalidate its entry
-        f"{os.path.basename(p)}:{os.stat(p).st_mtime_ns}:{os.path.getsize(p)}"
-        for p in paths
-    )
-    h = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    version, canvas, downsample, and the input-file signature hash."""
+    h = _case_signature_hash(case_dir)
     base = os.path.basename(os.path.normpath(case_dir))
     c = "x".join(map(str, canvas))
     return os.path.join(

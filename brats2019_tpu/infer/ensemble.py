@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.presets import ExperimentConfig
-from ..data.case import load_case
 from ..data.constants import internal_to_disk
 from ..utils.nifti import write_nifti
 from .postprocess import postprocess_labels
@@ -245,6 +244,15 @@ class EnsemblePredictor:
             image, self._p._default_dev, meta=meta
         )
         t1 = time.time()
+        labels, dev_s, post_s = self._labels_from_prepped(
+            canvas_img, cropped_shape, bbox
+        )
+        return labels, PredictionStats(t1 - t0, dev_s, post_s)
+
+    def _labels_from_prepped(self, canvas_img, cropped_shape, bbox):
+        """Ensemble accumulate + argmax + host postprocess for an
+        already-prepped canvas (shared by the array and case-dir entries)."""
+        t1 = time.time()
         acc, _ = self._accum_probs_auto(canvas_img)
         # argmax on device: only a uint8 canvas crosses the link, and the
         # un-normalized sum argmaxes identically to the mean (the coverage
@@ -258,8 +266,7 @@ class EnsemblePredictor:
             min_component_voxels=self.exp.infer.min_component_voxels,
             et_min_voxels=self.exp.infer.et_min_voxels,
         )
-        t3 = time.time()
-        return labels, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
+        return labels, t2 - t1, time.time() - t2
 
     def predict_case(self, case) -> Tuple[np.ndarray, PredictionStats]:
         """Predictor API parity (evaluate --ensemble comes through here)."""
@@ -268,15 +275,19 @@ class EnsemblePredictor:
     def predict_dir(
         self, case_dir: str, output_path: Optional[str] = None
     ) -> Tuple[str, PredictionStats]:
-        case = load_case(case_dir, load_seg=False)
-        labels, stats = self.predict_arrays(case.image, meta=case.meta)
+        t0 = time.time()
+        name, header, canvas_img, shape, bbox = self._p._prep_dir_to(
+            case_dir, self._p._default_dev
+        )
+        t1 = time.time()
+        labels, dev_s, post_s = self._labels_from_prepped(
+            canvas_img, shape, bbox
+        )
         disk = internal_to_disk(labels).astype(np.uint8)
         if output_path is None:
-            output_path = os.path.join(
-                case_dir, f"{case.name}_pred.nii.gz"
-            )
-        write_nifti(output_path, disk, like=case.header)
-        return output_path, stats
+            output_path = os.path.join(case_dir, f"{name}_pred.nii.gz")
+        write_nifti(output_path, disk, like=header)
+        return output_path, PredictionStats(t1 - t0, dev_s, post_s)
 
     def predict_dirs(self, case_dirs, output_paths=None) -> list:
         """Multi-case serving path (serve's batch entry point). Cases are
@@ -294,7 +305,7 @@ class EnsemblePredictor:
         pending, outs = [], []
 
         def drain_one():
-            case, d, labels_dev, shape, bbox, out = pending.pop(0)
+            name, header, d, labels_dev, shape, bbox, out = pending.pop(0)
             labels_c = np.asarray(jax.device_get(labels_dev))
             labels = self._p._uncrop(labels_c, shape, bbox)
             labels = postprocess_labels(
@@ -304,21 +315,20 @@ class EnsemblePredictor:
             )
             disk = internal_to_disk(labels).astype(np.uint8)
             if out is None:
-                out = os.path.join(d, f"{case.name}_pred.nii.gz")
-            write_nifti(out, disk, like=case.header)
+                out = os.path.join(d, f"{name}_pred.nii.gz")
+            write_nifti(out, disk, like=header)
             outs.append(out)
 
         for i, (d, out) in enumerate(zip(case_dirs, output_paths)):
-            case = load_case(d, load_seg=False)
             dev = devices[i % len(devices)]
-            canvas_img, shape, bbox = self._p._prep_to(
-                case.image, dev, meta=case.meta
+            name, header, canvas_img, shape, bbox = self._p._prep_dir_to(
+                d, dev
             )
             labels_dev = self._argmax(
                 self._accum_probs_device(canvas_img, dev=dev)[0]
             )
             _start_host_copy(labels_dev)
-            pending.append((case, d, labels_dev, shape, bbox, out))
+            pending.append((name, header, d, labels_dev, shape, bbox, out))
             while len(pending) >= window:
                 drain_one()
         while pending:
@@ -330,8 +340,13 @@ class EnsemblePredictor:
     ) -> str:
         """Ensemble-mean probability canvas as ``<case>_probs.npz`` (same
         artifact contract as Predictor.predict_probs_dir)."""
-        case = load_case(case_dir, load_seg=False)
-        probs, _ = self.predict_probs_arrays(case.image, meta=case.meta)
+        name, _header, canvas_img, shape, bbox = self._p._prep_dir_to(
+            case_dir, self._p._default_dev
+        )
+        canvas_p = self._mean_probs_canvas(canvas_img)
+        probs = self._p._uncrop(canvas_p, shape, bbox)
+        empty = probs.sum(-1) == 0
+        probs[empty, 0] = 1.0
         if output_path is None:
-            output_path = os.path.join(case_dir, f"{case.name}_probs.npz")
+            output_path = os.path.join(case_dir, f"{name}_probs.npz")
         return save_probs_npz(output_path, probs)

@@ -11,9 +11,11 @@ the input header/affine (C1).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import sys
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -174,6 +176,9 @@ class Predictor:
         self._params_by_dev = {}
         self._prep_times: list = []       # serving telemetry (transfer hint)
         self._transfer_hinted = False
+        # bounded in-memory payload memo (InferenceConfig.payload_memo_volumes)
+        self._payload_memo: collections.OrderedDict = collections.OrderedDict()
+        self._memo_lock = threading.Lock()
         self._fn = make_predict_fn(
             fine_apply,
             exp.infer,
@@ -375,14 +380,21 @@ class Predictor:
             )
         return self._params_by_dev[dev]
 
-    def _prep_to(self, image: np.ndarray, dev, meta: Optional[dict] = None):
-        """_prep with explicit device placement (transfer overlaps with the
-        previous volume's device work — it runs in the prep thread). ``meta``
-        reuses the native loader's fused brain bbox; without it the strided
-        exact bbox + one-pass crop/cast/fit keep host prep at ~55 ms/volume
-        (vs ~220 ms for full-scan + three passes — the serving wall on this
-        1-core host, PERF.md)."""
-        t0 = time.time()
+    def _encode_host(
+        self, image: np.ndarray, meta: Optional[dict] = None
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], BBox]:
+        """Host half of the transfer path: brain bbox -> (bucketed)
+        crop/cast -> optional int8 quantize. Returns the transfer payload
+        ``(small, dst, bbox)`` — exactly the bytes that cross the
+        host->device link. ``dst is None`` means ``small`` is already the
+        full canvas (unbucketed bf16 path). Deterministic for a fixed
+        (input, canvas, bucket, transfer dtype), which is what makes the
+        payload cacheable (disk cache + in-memory memo; VERDICT r3 #5).
+
+        ``meta`` reuses the native loader's fused brain bbox; without it
+        the strided exact bbox + one-pass crop/cast/fit keep host prep at
+        ~55 ms/volume (vs ~220 ms for full-scan + three passes — the
+        serving wall on this 1-core host, PERF.md)."""
         if meta is not None:
             bbox = BBox(
                 tuple(int(v) for v in meta["bbox_lo"]),
@@ -403,28 +415,113 @@ class Predictor:
             )
             if int8:
                 small = quantize_int8_per_modality(small)
-            small_dev = jax.device_put(jnp.asarray(small), dev)
-            dst_dev = jax.device_put(np.asarray(dst, np.int32), dev)
-            canvas_img = self._embed(small_dev, dst_dev)
-        elif int8:
+            return small, np.asarray(dst, np.int32), bbox
+        if int8:
             # full-canvas transfer still honors the int8 encoding: quantize
             # the whole canvas and dequantize via the embed's cast
             small = quantize_int8_per_modality(
                 crop_cast_fit_np(image, bbox, self.canvas, dtype=np.float32)
             )
-            small_dev = jax.device_put(jnp.asarray(small), dev)
-            dst_dev = jax.device_put(np.zeros(3, np.int32), dev)
-            canvas_img = self._embed(small_dev, dst_dev)
-        else:
-            canvas_img = jax.device_put(
-                jnp.asarray(crop_cast_fit_np(image, bbox, self.canvas)), dev
-            )
+            return small, np.zeros(3, np.int32), bbox
+        return crop_cast_fit_np(image, bbox, self.canvas), None, bbox
+
+    def _payload_to_device(self, small: np.ndarray,
+                           dst: Optional[np.ndarray], dev):
+        """Ship a host payload across the link and embed it into the static
+        zero canvas on-device (the only per-volume host->device traffic)."""
+        if dst is None:
+            return jax.device_put(jnp.asarray(small), dev)
+        small_dev = jax.device_put(jnp.asarray(small), dev)
+        dst_dev = jax.device_put(np.asarray(dst, np.int32), dev)
+        return self._embed(small_dev, dst_dev)
+
+    def _memo_encode(
+        self, image: np.ndarray, meta: Optional[dict] = None
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], BBox]:
+        """_encode_host through the bounded in-memory payload memo, keyed
+        by array identity — repeat in-memory volumes (ensemble members,
+        probs+uncertainty second passes, re-submitted serving arrays) skip
+        the bbox scan and crop/cast/quantize entirely; the host->device
+        transfer itself still happens per dispatch. Entries hold a strong
+        reference to the keyed array, so an ``id()`` can never be recycled
+        while its entry lives; the serving contract (documented on
+        InferenceConfig.payload_memo_volumes) is that submitted arrays are
+        not mutated in place afterwards."""
+        cap = self.exp.infer.payload_memo_volumes
+        if cap <= 0:
+            return self._encode_host(image, meta)
+        key = id(image)
+        with self._memo_lock:
+            ent = self._payload_memo.get(key)
+            if ent is not None and ent[0] is image:
+                self._payload_memo.move_to_end(key)
+                return ent[1]
+        payload = self._encode_host(image, meta)
+        with self._memo_lock:
+            self._payload_memo[key] = (image, payload)
+            self._payload_memo.move_to_end(key)
+            while len(self._payload_memo) > cap:
+                self._payload_memo.popitem(last=False)
+        return payload
+
+    def _prep_to(self, image: np.ndarray, dev, meta: Optional[dict] = None):
+        """Host encode (memoized) + explicit-device transfer (the transfer
+        overlaps with the previous volume's device work — it runs in the
+        prep thread)."""
+        t0 = time.time()
+        small, dst, bbox = self._memo_encode(image, meta)
+        canvas_img = self._payload_to_device(small, dst, dev)
         # wall time of host encode + transfer dispatch (includes queue
         # backpressure when the link is the wall); list.append is atomic
         # under the GIL so prep threads need no lock
         self._prep_times.append(time.time() - t0)
         del self._prep_times[:-64]
         return canvas_img, bbox.shape, bbox
+
+    def _prep_dir_to(self, case_dir: str, dev):
+        """Case-directory prep through the on-disk payload cache (VERDICT
+        r3 #5): a hit loads the stored transfer payload and skips NIfTI
+        gzip decode, the brain-bbox scan, and crop/cast/quantize — only
+        the header read (348 bytes at the head of the t1 stream, for
+        output write-back) and the host->device transfer remain. A miss
+        decodes normally and stores the payload for the next arrival of
+        the same input signature (re-serves, folds, ensemble batches).
+        The stored payload is bitwise what the uncached path ships, so
+        masks are identical either way (tests/test_payload_cache.py).
+
+        Returns ``(case_name, header, canvas_img, cropped_shape, bbox)``."""
+        from ..data.case import modality_paths
+        from ..utils.nifti import read_header
+        from .payload_cache import (
+            load_payload, payload_cache_path, store_payload,
+        )
+
+        cache_dir = self.exp.infer.prep_cache_dir
+        name = os.path.basename(os.path.normpath(case_dir))
+        t0 = time.time()
+        path = None
+        if cache_dir:
+            path = payload_cache_path(
+                cache_dir, case_dir, self.canvas,
+                self.exp.infer.transfer_bucket,
+                self.exp.infer.transfer_dtype,
+            )
+            payload = load_payload(path)
+            if payload is not None:
+                small, dst, bbox = payload
+                header = read_header(modality_paths(case_dir)[0])
+                canvas_img = self._payload_to_device(small, dst, dev)
+                self._prep_times.append(time.time() - t0)
+                del self._prep_times[:-64]
+                return name, header, canvas_img, bbox.shape, bbox
+        case = load_case(case_dir, load_seg=False)
+        small, dst, bbox = self._encode_host(case.image, case.meta)
+        if path is not None:
+            store_payload(path, small, dst, bbox)
+        canvas_img = self._payload_to_device(small, dst, dev)
+        self._prep_times.append(time.time() - t0)
+        del self._prep_times[:-64]
+        return case.name, case.header, canvas_img, bbox.shape, bbox
 
     def predict_probs_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
@@ -438,6 +535,15 @@ class Predictor:
             image, self._default_dev, meta=meta
         )
         t1 = time.time()
+        probs, dev_s, post_s = self._probs_from_prepped(
+            canvas_img, cropped_shape, bbox
+        )
+        return probs, PredictionStats(t1 - t0, dev_s, post_s)
+
+    def _probs_from_prepped(self, canvas_img, cropped_shape, bbox):
+        """Device probs program + host un-crop for an already-prepped
+        canvas (shared by the array and case-dir probs entry points)."""
+        t1 = time.time()
         canvas_p = self._probs_canvas_np(
             self.params_fine, self.params_coarse, canvas_img
         )
@@ -445,8 +551,7 @@ class Predictor:
         probs = self._uncrop(canvas_p, cropped_shape, bbox)
         empty = probs.sum(-1) == 0  # never written -> exact background
         probs[empty, 0] = 1.0
-        t3 = time.time()
-        return probs, PredictionStats(t1 - t0, t2 - t1, t3 - t2)
+        return probs, t2 - t1, time.time() - t2
 
     def _probs_canvas_np(self, params_fine, params_coarse, canvas_img):
         """Run the probs program for ONE set of params and paste its ROI
@@ -470,10 +575,12 @@ class Predictor:
         """Write a case's probability canvas as ``<case>_probs.npz``
         (float16 ``probs`` (X, Y, Z, 4) + ``classes`` naming the channel
         order in BraTS disk labels [0, 1, 2, 4])."""
-        case = load_case(case_dir, load_seg=False)
-        probs, _ = self.predict_probs_arrays(case.image, meta=case.meta)
+        name, _header, canvas_img, shape, bbox = self._prep_dir_to(
+            case_dir, self._default_dev
+        )
+        probs, _, _ = self._probs_from_prepped(canvas_img, shape, bbox)
         if output_path is None:
-            output_path = os.path.join(case_dir, f"{case.name}_probs.npz")
+            output_path = os.path.join(case_dir, f"{name}_probs.npz")
         return save_probs_npz(output_path, probs)
 
     def predict_case(self, case: Case) -> Tuple[np.ndarray, PredictionStats]:
@@ -494,18 +601,17 @@ class Predictor:
 
         def load_and_prep(i_d):
             i, d = i_d
-            case = load_case(d, load_seg=False)
-            x_dev, shape, bbox = self._prep_to(
-                case.image, dev_of(i), meta=case.meta
-            )
-            return case, x_dev, shape, bbox
+            # decode + encode via the payload cache when configured
+            # (prep_cache_dir); repeat input signatures skip gzip + bbox
+            return self._prep_dir_to(d, dev_of(i))
 
-        def finish_and_write(case, fetched, shape, bbox, case_dir, out):
+        def finish_and_write(name, header, fetched, shape, bbox, case_dir,
+                             out):
             labels = self._finish(fetched, shape, bbox)
             disk = internal_to_disk(labels).astype(np.uint8)
             if out is None:
-                out = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
-            write_nifti(out, disk, like=case.header)
+                out = os.path.join(case_dir, f"{name}_pred.nii.gz")
+            write_nifti(out, disk, like=header)
             return out
 
         depth = max(1, self.exp.infer.serving_depth)
@@ -517,21 +623,21 @@ class Predictor:
             ]
             posts: dict = {}
             for i, (fut, d) in enumerate(zip(preps, case_dirs)):
-                case, x_dev, shape, bbox = fut.result()
+                name, header, x_dev, shape, bbox = fut.result()
                 if pair is None:
                     pf, pc = self._params_on(dev_of(i))
                     labels_r, start = self._fn(pf, pc, x_dev)
                     _start_host_copy(labels_r, start)
                     posts[i] = post_pool.submit(
-                        finish_and_write, case, (labels_r, start), shape,
-                        bbox, d, output_paths[i],
+                        finish_and_write, name, header, (labels_r, start),
+                        shape, bbox, d, output_paths[i],
                     )
                 else:
-                    def emit(labels_r, start, i=i, case=case, shape=shape,
-                             bbox=bbox, d=d):
+                    def emit(labels_r, start, i=i, name=name, header=header,
+                             shape=shape, bbox=bbox, d=d):
                         _start_host_copy(labels_r, start)
                         posts[i] = post_pool.submit(
-                            finish_and_write, case, (labels_r, start),
+                            finish_and_write, name, header, (labels_r, start),
                             shape, bbox, d, output_paths[i],
                         )
 
@@ -550,10 +656,29 @@ class Predictor:
     ) -> Tuple[str, PredictionStats]:
         """Reference CLI shape: predict on a BraTS case directory, write the
         segmentation NIfTI next to it (or at output_path)."""
-        case = load_case(case_dir, load_seg=False)
-        labels, stats = self.predict_case(case)
+        t0 = time.time()
+        name, header, canvas_img, shape, bbox = self._prep_dir_to(
+            case_dir, self._default_dev
+        )
+        t1 = time.time()
+        labels_r, start = self._fn(
+            self.params_fine, self.params_coarse, canvas_img
+        )
+        labels_c = self._paste_roi(
+            np.asarray(jax.device_get(labels_r)),
+            np.asarray(jax.device_get(start)),
+        )
+        t2 = time.time()
+        labels = self._uncrop(labels_c, shape, bbox)
+        if self.exp.infer.postproc != "device":
+            labels = postprocess_labels(
+                labels,
+                min_component_voxels=self.exp.infer.min_component_voxels,
+                et_min_voxels=self.exp.infer.et_min_voxels,
+            )
         disk = internal_to_disk(labels).astype(np.uint8)
         if output_path is None:
-            output_path = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
-        write_nifti(output_path, disk, like=case.header)
+            output_path = os.path.join(case_dir, f"{name}_pred.nii.gz")
+        write_nifti(output_path, disk, like=header)
+        stats = PredictionStats(t1 - t0, t2 - t1, time.time() - t2)
         return output_path, stats
