@@ -123,8 +123,9 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
               "is bypassed (use --multichip cascade for flagship-parity "
               "masks). 'sweep' reproduces the single-device no-cascade "
               "tiled sweep; 'spatial' is ONE whole-volume forward (no TTA, "
-              "no sliding window, whole-volume InstanceNorm stats) — masks "
-              "are close but not identical to the tiled path",
+              "no sliding window, whole-volume InstanceNorm stats) — WT "
+              "masks are close but TC/ET degrade (measured Dice deltas: "
+              "docs/MULTIHOST.md accuracy table)",
               file=sys.stderr)
     if exp.infer.postproc == "device":
         print("note: --multichip postprocesses on the host "

@@ -15,8 +15,9 @@ NUMBER on the difference:
   3. report per-region Dice of each vs GT, and of spatial vs flagship
      (agreement), mean over the held-out cases.
 
-Run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
-(the delta is a semantics property, not a hardware one). Results ->
+Runs on the forced 8-virtual-device CPU mesh (self-configured, like
+tests/conftest.py — the delta is a semantics property, not a hardware
+one). Results ->
 docs/MULTIHOST.md accuracy-delta table; the pinned-bound regression test is
 tests/test_multichip_cli.py::test_spatial_accuracy_delta_bounded.
 """
@@ -26,18 +27,20 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-_os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import shutil
+import tempfile
+
+import jax
+
+# sitecustomize imports jax and registers the axon tunnel before env vars
+# can take effect; backends init lazily, so config.update still routes to
+# CPU (same trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 _flags = _os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-
-import dataclasses
-import shutil
-import tempfile
-
-import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -72,10 +75,13 @@ def make_exp(workdir, steps):
         unet=ucfg,
         coarse_unet=None,
         train=TrainConfig(
-            patch=(32, 32, 32),
+            # sized for the 1-core CPU host: 8 virtual devices x 1 patch
+            # of 16^3 per step trains the easy synthetic blob task to a
+            # useful Dice in a few hundred steps
+            patch=(16, 16, 16),
             pool_shape=(64, 64, 48),
             pool_cases_per_device=2,
-            batch_per_device=2,
+            batch_per_device=1,
             steps=steps,
             warmup_steps=20,
             lr=3e-3,
@@ -93,7 +99,7 @@ def make_exp(workdir, steps):
     )
 
 
-def main(steps=400, n_train=8, n_val=4):
+def main(steps=400, n_train=8, n_val=4, save_params=None):
     tmp = tempfile.mkdtemp(prefix="exp_spatial_delta_")
     try:
         log(f"devices: {jax.devices()}")
@@ -105,6 +111,12 @@ def main(steps=400, n_train=8, n_val=4):
         log(f"training {steps} steps on {n_train} synthetic cases ...")
         res = train_stage(exp, train_dirs, stage="fine", val_dirs=[])
         params = jax.device_get(res.params)
+        if save_params:
+            from brats2019_tpu.train.checkpoint import export_params
+
+            export_params(save_params, params)
+            log(f"saved trained params to {save_params} "
+                "(fixture for test_spatial_accuracy_delta_bounded)")
 
         flagship = Predictor(exp, params)
         spatial = MultichipPredictor(exp, params, mode="spatial")
@@ -146,5 +158,8 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--n-train", type=int, default=8)
     ap.add_argument("--n-val", type=int, default=4)
+    ap.add_argument("--save-params", default=None, metavar="PATH",
+                    help="export the trained params (npz) so the pinned "
+                         "regression test can skip the training step")
     a = ap.parse_args()
-    raise SystemExit(main(a.steps, a.n_train, a.n_val))
+    raise SystemExit(main(a.steps, a.n_train, a.n_val, a.save_params))
