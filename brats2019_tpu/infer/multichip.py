@@ -164,6 +164,51 @@ class MultichipPredictor:
                 params=self.params,
             )
 
+    def reload_params(self, params_fine, params_coarse=None) -> None:
+        """Hot-swap serving weights with ZERO recompiles (serve --multichip
+        + SIGHUP): params are traced ARGUMENTS of the jitted mesh programs,
+        so same-shaped replacements reuse the compiled executables — the
+        same contract as Predictor.reload_params."""
+        self.params = jax.device_put(params_fine, self.env.replicated())
+        if self.mode == "cascade":
+            if params_coarse is None:
+                raise ValueError(
+                    "mode='cascade' reload needs the coarse-stage params"
+                )
+            self.params_coarse = jax.device_put(
+                params_coarse, self.env.replicated()
+            )
+
+    def predict_dir(self, case_dir: str, output_path: Optional[str] = None):
+        """Serving-daemon API parity with Predictor: predict one BraTS case
+        directory, write ``<case>_pred.nii.gz`` (or ``output_path``).
+        Decode and write are host-side; the whole mesh runs one case at a
+        time (the decomposition IS the parallelism — serve --multichip)."""
+        import os
+
+        from ..data.case import load_case
+        from ..data.constants import internal_to_disk
+        from ..utils.nifti import write_nifti
+
+        case = load_case(case_dir, load_seg=False)
+        labels = self.predict_arrays(case.image)
+        disk = internal_to_disk(labels).astype(np.uint8)
+        if output_path is None:
+            output_path = os.path.join(case_dir, f"{case.name}_pred.nii.gz")
+        write_nifti(output_path, disk, like=case.header)
+        return output_path
+
+    def predict_dirs(self, case_dirs, output_paths=None) -> list:
+        """Predictor.predict_dirs drop-in for the serving daemon: cases run
+        sequentially, each over the full mesh (no round-robin striping —
+        multi-chip mode trades per-volume latency for the mesh)."""
+        if output_paths is None:
+            output_paths = [None] * len(case_dirs)
+        return [
+            self.predict_dir(d, out)
+            for d, out in zip(case_dirs, output_paths)
+        ]
+
     def predict_arrays(self, image: np.ndarray) -> np.ndarray:
         bbox = brain_bbox_fast_np(image)
         # same prep chain as the single-device Predictor (crop/cast, then
@@ -173,7 +218,9 @@ class MultichipPredictor:
             # z-score runs INSIDE the mesh program (exactly where the
             # single-device cascade program runs it); the device returns
             # ROI labels + placement, pasted host-side like Predictor
-            labels_r, start = self._cascade(jnp.asarray(canvas_img))
+            labels_r, start = self._cascade(
+                jnp.asarray(canvas_img), self.params, self.params_coarse
+            )
             labels_c = np.zeros(self.canvas, np.uint8)
             sx, sy, sz = (int(v) for v in np.asarray(jax.device_get(start)))
             lr = np.asarray(jax.device_get(labels_r))
@@ -192,7 +239,7 @@ class MultichipPredictor:
                 jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.uint8)
             )
         else:
-            probs = self._sweep(jnp.asarray(x))
+            probs = self._sweep(jnp.asarray(x), params_override=self.params)
             labels_c = np.asarray(jnp.argmax(probs, -1).astype(jnp.uint8))
         labels = uncrop_labels(labels_c, bbox.shape, bbox, self.canvas)
         return postprocess_labels(

@@ -223,10 +223,14 @@ def distributed_tile_sweep(
     # them would trace them right back into constants
     jit_sharded = jax.jit(sharded)
 
-    def run(vol):
+    def run(vol, params_override=None):
+        # params_override: serving hot-reload (serve --multichip + SIGHUP)
+        # swaps weights with zero recompiles — same treedef/shapes hit the
+        # existing jit cache entry
         args = (vol, o_dev, f_dev, v_dev, w_dev)
         if has_params:
-            args = args + (params,)
+            args = args + (params if params_override is None
+                           else params_override,)
         return jit_sharded(*args)
 
     return run
@@ -421,9 +425,14 @@ def distributed_cascade_sweep(
     w_dev = jnp.asarray(w_np)
     jit_sharded = jax.jit(sharded)
 
-    def run(vol):
+    def run(vol, pf=None, pc=None):
+        # pf/pc override the factory params for serving hot-reload (serve
+        # --multichip cascade + SIGHUP): same treedef/shapes reuse the
+        # compiled executable, zero recompiles
         return jit_sharded(
-            vol, o_dev, f_dev, v_dev, w_dev, params_fine, params_coarse
+            vol, o_dev, f_dev, v_dev, w_dev,
+            params_fine if pf is None else pf,
+            params_coarse if pc is None else pc,
         )
 
     return run

@@ -511,3 +511,113 @@ def test_stale_executable_error_recovers_with_cache_clear(monkeypatch):
     out, err = s._predict_one_isolated("/case")
     assert out == "ok.nii.gz" and err is None
     assert calls["n"] == 2 and cleared["n"] == 1
+
+
+# ---- --multichip serving (round 4: mesh-decomposed daemon) ----
+
+
+def _multichip_cascade_fixtures():
+    """Tiny cascade exp + params (mirrors tests/test_multichip_cli.py's
+    cascade fixtures: s2d-stem fine net so the low-res TTA reduce is in
+    play, plain coarse net)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from brats2019_tpu.configs.presets import (
+        ExperimentConfig, InferenceConfig, TrainConfig,
+    )
+    from brats2019_tpu.models import UNet3D, UNetConfig
+
+    fine_cfg = UNetConfig(levels=2, base_features=4, max_features=8,
+                          stem_downsample=2, compute_dtype="float32")
+    coarse_cfg = UNetConfig(levels=2, base_features=4, max_features=8,
+                            compute_dtype="float32")
+    exp = ExperimentConfig(
+        name="serve_mc",
+        unet=fine_cfg,
+        coarse_unet=coarse_cfg,
+        train=TrainConfig(pool_shape=(32, 32, 32)),
+        infer=InferenceConfig(
+            canvas=None, tile=(16, 16, 16), cascade=True, tta_flips=True,
+            roi_shape=(16, 16, 16), coarse_shape=(16, 16, 16),
+            min_component_voxels=0, et_min_voxels=0,
+            compute_dtype="float32", tta_precision="float32",
+        ),
+    )
+    x0 = jnp.zeros((1, 16, 16, 16, 4))
+    pf = UNet3D(fine_cfg).init(jax.random.PRNGKey(3), x0)
+    pc = UNet3D(coarse_cfg).init(jax.random.PRNGKey(4), x0)
+    return exp, pf, pc
+
+
+def test_serve_multichip_cascade_serves_flagship_masks(tmp_path, monkeypatch):
+    """serve --multichip cascade must write the FLAGSHIP (single-device
+    cascade Predictor) masks — the whole daemon loop (scan -> ready ->
+    predict_dirs -> log) running the mesh decomposition."""
+    from brats2019_tpu.data.synthetic import write_case
+    from brats2019_tpu.infer.predictor import Predictor
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    monkeypatch.setattr(
+        cli_serve, "load_serving_params", lambda e: (e, pf, pc)
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    case = str(watch / "BraTS19_SYN_000_1")
+    write_case(case, seed=23, shape=(40, 36, 28), with_seg=False)
+    out_dir = str(tmp_path / "served")
+
+    server = cli_serve.Server(exp, output_dir=out_dir, multichip="cascade")
+    rc = server.run(str(watch), poll=0.05, once=True)
+    assert rc == 0
+    out = os.path.join(out_dir, "BraTS19_SYN_000_1_pred.nii.gz")
+    got, _ = read_nifti(out, apply_scaling=False)
+
+    from brats2019_tpu.data.case import load_case
+    from brats2019_tpu.data.constants import internal_to_disk
+
+    image = load_case(case, load_seg=False).image
+    ref, _ = Predictor(exp, pf, pc).predict_arrays(image)
+    ref = internal_to_disk(ref)
+    assert (np.asarray(got) == ref).mean() > 0.999
+
+
+def test_serve_multichip_reload_params_zero_rebuild(monkeypatch, tmp_path):
+    """SIGHUP contract for the multichip daemon: reload_params swaps
+    weights on the SAME compiled programs (predictions change, nothing
+    recompiles or errors)."""
+    import jax
+
+    from brats2019_tpu.data.synthetic import make_case_arrays
+    from brats2019_tpu.infer.multichip import MultichipPredictor
+    from brats2019_tpu.models import UNet3D
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    mp = MultichipPredictor(exp, pf, mode="cascade", params_coarse=pc)
+    image, _ = make_case_arrays(seed=31, shape=(40, 36, 28))
+    before = mp.predict_arrays(image)
+
+    import jax.numpy as jnp
+
+    x0 = jnp.zeros((1, 16, 16, 16, 4))
+    pf2 = UNet3D(exp.unet).init(jax.random.PRNGKey(7), x0)
+    mp.reload_params(pf2, pc)
+    after = mp.predict_arrays(image)
+    assert before.shape == after.shape
+    assert (before != after).any()  # new weights actually serve
+    # cascade reload without coarse params is a hard error
+    with pytest.raises(ValueError, match="coarse-stage"):
+        mp.reload_params(pf2, None)
+
+
+def test_serve_multichip_rejects_single_device_combos(tmp_path):
+    """--multichip must refuse the single-device-only flags loudly."""
+    watch = str(tmp_path)
+    for extra in (["--ensemble", "w1"], ["--save-probs"],
+                  ["--save-uncertainty"]):
+        rc = cli_serve.main(
+            [watch, "--preset", "unit", "--multichip", "sweep"] + extra
+        )
+        assert rc == 2
