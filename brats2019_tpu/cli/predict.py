@@ -104,14 +104,7 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
     mesh of ALL local devices (infer/multichip.py). Config-5-style serving
     as a command (VERDICT round-2 #9; round-3 #3 adds the cascade-parity
     mode)."""
-    import os
-
-    import numpy as np
-
-    from ..data.case import load_case
-    from ..data.constants import internal_to_disk
     from ..infer.multichip import MultichipPredictor
-    from ..utils.nifti import write_nifti
 
     # spatial/sweep are single-stage whole-canvas programs; say so instead
     # of silently dropping knobs the single-device path honors ('cascade'
@@ -137,6 +130,10 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
             print(f"note: {name} has no effect in --multichip mode "
                   "(cases run one at a time over the whole mesh)",
                   file=sys.stderr)
+    if exp.infer.prep_cache_dir:
+        print("note: --prep-cache has no effect in --multichip mode (the "
+              "payload cache serves the single-device transfer encoding)",
+              file=sys.stderr)
 
     try:
         mp = MultichipPredictor(
@@ -153,14 +150,10 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
         jax.profiler.start_trace(args.profile)
     t0 = time.time()
     try:
-        for i, d in enumerate(cases):
-            case = load_case(d, load_seg=False)
-            labels = mp.predict_arrays(case.image)
-            disk = internal_to_disk(labels).astype(np.uint8)
-            out = args.output if (args.output and len(cases) == 1) else (
-                os.path.join(d, f"{case.name}_pred.nii.gz")
+        for d in cases:
+            out = mp.predict_dir(
+                d, args.output if (args.output and len(cases) == 1) else None
             )
-            write_nifti(out, disk, like=case.header)
             print(f"[predict] {d} -> {out}", flush=True)
     finally:
         if args.profile:

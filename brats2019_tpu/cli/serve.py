@@ -615,6 +615,10 @@ def main(argv=None) -> int:
                 print(f"note: {name} has no effect with --multichip "
                       "(cases run one at a time over the whole mesh)",
                       file=sys.stderr)
+        if exp.infer.prep_cache_dir:
+            print("note: --prep-cache has no effect with --multichip (the "
+                  "payload cache serves the single-device transfer "
+                  "encoding)", file=sys.stderr)
 
     try:
         server = Server(

@@ -144,10 +144,12 @@ class InferenceConfig:
     # ships). None = off. CLI: predict/serve --prep-cache DIR.
     prep_cache_dir: Optional[str] = None
     # in-memory memo of the last N volumes' encoded transfer payloads,
-    # keyed by array identity (repeat in-memory volumes: ensemble/probs
-    # second passes, re-submitted serving arrays). Assumes submitted
-    # arrays are not mutated in place afterwards (standard serving
-    # contract). 0 = off.
+    # keyed by array identity via WEAK references (repeat in-memory
+    # volumes: ensemble/probs second passes, re-submitted serving arrays).
+    # Entries die with the caller's array, so streams of distinct volumes
+    # pin no memory (dead entries and their payloads are swept on access).
+    # Assumes submitted arrays are not mutated in place afterwards
+    # (standard serving contract). 0 = off.
     payload_memo_volumes: int = 8
     # co-located serving: 2 = run TWO volumes' fine TTA stages as ONE
     # batched device program (b16 instead of 2x b8) at the cost of one

@@ -50,9 +50,16 @@ def payload_cache_path(
     version, canvas, transfer bucket, transfer dtype, and the (mtime_ns,
     size) signature of the case's modality files (seg files are ignored —
     prediction never reads them, so uploading labels next to an already
-    cached case must not invalidate it)."""
+    cached case must not invalidate it). The case identity component is
+    basename PLUS a short hash of the absolute directory, so two roots
+    holding same-named copies of a case (fold0/X, fold1/X) never evict
+    each other's entries via _prune_superseded."""
+    import hashlib
+
     h = _case_signature_hash(case_dir, with_seg=False)
-    base = os.path.basename(os.path.normpath(case_dir))
+    norm = os.path.normpath(os.path.abspath(case_dir))
+    dirh = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    base = f"{os.path.basename(norm)}-{dirh}"
     c = "x".join(map(str, canvas))
     b = f"b{bucket}" if bucket else "b0"
     return os.path.join(
@@ -90,13 +97,18 @@ def store_payload(
     """Atomic (tmp+rename) uncompressed-npz write + prune of superseded
     entries for the same case+params. Write failures degrade to uncached
     operation — serving must never die because a cache volume filled up."""
+    import threading
+
     cache_dir = os.path.dirname(path)
     small = np.asarray(small)
     if small.dtype == BF16:  # bf16 has no stable npz encoding
         small = small.view(np.uint16)
+    # pid AND thread id: serving_depth>1 prep threads in one process may
+    # miss the same case concurrently — a shared tmp name would interleave
+    # their writes and publish a corrupt entry
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{path}.{os.getpid()}.tmp"
         # uncompressed: the point is to beat gzip-decode time; savez gets a
         # FILE OBJECT so it cannot append its own .npz suffix to the name
         with open(tmp, "wb") as f:

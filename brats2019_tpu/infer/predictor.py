@@ -17,6 +17,7 @@ import os
 import sys
 import threading
 import time
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -442,23 +443,36 @@ class Predictor:
         by array identity — repeat in-memory volumes (ensemble members,
         probs+uncertainty second passes, re-submitted serving arrays) skip
         the bbox scan and crop/cast/quantize entirely; the host->device
-        transfer itself still happens per dispatch. Entries hold a strong
-        reference to the keyed array, so an ``id()`` can never be recycled
-        while its entry lives; the serving contract (documented on
-        InferenceConfig.payload_memo_volumes) is that submitted arrays are
-        not mutated in place afterwards."""
+        transfer itself still happens per dispatch.
+
+        Entries hold a WEAK reference to the keyed array: when the caller
+        drops its last reference (a stream of distinct volumes), the entry
+        dies and is swept on the next call, so the memo never pins freed
+        ~143 MB input volumes (nor keeps their payloads) on streams with
+        no repeats. A dead weakref also means its id() may be recycled —
+        the liveness check (``ent[0]() is image``) makes recycled ids
+        read as misses, never as wrong payloads. The serving contract
+        (documented on InferenceConfig.payload_memo_volumes) is that
+        submitted arrays are not mutated in place afterwards."""
         cap = self.exp.infer.payload_memo_volumes
         if cap <= 0:
             return self._encode_host(image, meta)
         key = id(image)
         with self._memo_lock:
+            for k in [k for k, e in self._payload_memo.items()
+                      if e[0]() is None]:
+                del self._payload_memo[k]  # sweep dead entries + payloads
             ent = self._payload_memo.get(key)
-            if ent is not None and ent[0] is image:
+            if ent is not None and ent[0]() is image:
                 self._payload_memo.move_to_end(key)
                 return ent[1]
         payload = self._encode_host(image, meta)
+        try:
+            ref = weakref.ref(image)
+        except TypeError:
+            return payload  # non-weakref-able input: serve uncached
         with self._memo_lock:
-            self._payload_memo[key] = (image, payload)
+            self._payload_memo[key] = (ref, payload)
             self._payload_memo.move_to_end(key)
             while len(self._payload_memo) > cap:
                 self._payload_memo.popitem(last=False)
@@ -664,18 +678,11 @@ class Predictor:
         labels_r, start = self._fn(
             self.params_fine, self.params_coarse, canvas_img
         )
-        labels_c = self._paste_roi(
-            np.asarray(jax.device_get(labels_r)),
-            np.asarray(jax.device_get(start)),
-        )
+        # _finish = fetch + paste + uncrop + host postproc (the ONE shared
+        # tail, also used by the pipelined path); its wall lands in the
+        # stats' middle slot, the NIfTI write in the last
+        labels = self._finish((labels_r, start), shape, bbox)
         t2 = time.time()
-        labels = self._uncrop(labels_c, shape, bbox)
-        if self.exp.infer.postproc != "device":
-            labels = postprocess_labels(
-                labels,
-                min_component_voxels=self.exp.infer.min_component_voxels,
-                et_min_voxels=self.exp.infer.et_min_voxels,
-            )
         disk = internal_to_disk(labels).astype(np.uint8)
         if output_path is None:
             output_path = os.path.join(case_dir, f"{name}_pred.nii.gz")

@@ -143,6 +143,23 @@ def test_seg_upload_does_not_invalidate(case_dir):
     assert pc.payload_cache_path(*args) != before
 
 
+def test_store_failure_degrades_to_uncached(tmp_path, capsys):
+    """A cache volume that cannot be created/written must degrade to
+    uncached operation — never raise (the serving daemon would quarantine
+    healthy cases). Regression: the cleanup path referenced the tmp name
+    before assignment when makedirs itself failed."""
+    from brats2019_tpu.data.preprocess import BBox
+
+    blocker = tmp_path / "blocker"
+    blocker.write_text("a file where the cache dir should be")
+    path = os.path.join(str(blocker), "sub", "x.pv1.c1x1x1.b0.bfloat16.h.npz")
+    pc.store_payload(
+        path, np.zeros((2, 2, 2, 4), np.float32), None,
+        BBox((0, 0, 0), (2, 2, 2), (2, 2, 2)),
+    )  # must not raise
+    assert "write failed" in capsys.readouterr().err
+
+
 def test_corrupt_entry_is_rebuilt(case_dir, tmp_path, capsys):
     params = _params()
     cache = str(tmp_path / "cache")
@@ -181,14 +198,42 @@ def test_payload_memo_hits_and_bound(monkeypatch):
     assert calls["n"] == 1
     np.testing.assert_array_equal(a1, a2)
     # a copy with equal values is a DIFFERENT submission -> fresh encode
-    pred.predict_arrays(img1.copy())
+    # (held alive so LRU bounding below is tested on live entries)
+    copy1 = img1.copy()
+    pred.predict_arrays(copy1)
     assert calls["n"] == 2
-    # bound: img1's entry evicted after two newer keys
+    # bound: all three keys alive, cap 2 -> img1 (least recent) evicted
     pred.predict_arrays(img2)
     assert calls["n"] == 3
     assert len(pred._payload_memo) == 2
     pred.predict_arrays(img1)
     assert calls["n"] == 4  # was evicted, re-encoded
+
+
+def test_payload_memo_releases_dropped_volumes(monkeypatch):
+    """The memo must not pin volumes the caller has dropped: entries hold
+    WEAK references, and dead entries (plus their payloads) are swept on
+    the next access — a stream of distinct volumes leaves nothing behind."""
+    params = _params()
+    pred = Predictor(_exp(memo=8), params)
+    for seed in (1, 2, 3):
+        img, _ = make_case_arrays(seed=seed, shape=(32, 32, 24))
+        pred.predict_arrays(img)
+        del img  # caller drops its only reference
+    keep, _ = make_case_arrays(seed=4, shape=(32, 32, 24))
+    pred.predict_arrays(keep)  # access sweeps the dead entries
+    assert len(pred._payload_memo) == 1  # only the live volume remains
+    # and the survivor still hits
+    calls = {"n": 0}
+    real = pred._encode_host
+
+    def counting(image, meta=None):
+        calls["n"] += 1
+        return real(image, meta)
+
+    monkeypatch.setattr(pred, "_encode_host", counting)
+    pred.predict_arrays(keep)
+    assert calls["n"] == 0
 
 
 def test_memo_disabled(monkeypatch):
