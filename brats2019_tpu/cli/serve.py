@@ -126,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving-depth", type=int, default=None,
                    help="volumes concurrently in host prep/postprocess "
                         "(>1 hedges transfer stalls on bad links)")
+    p.add_argument("--rss-limit-mb", type=int, default=0,
+                   help="voluntary recycle watermark: exit with code 4 "
+                        "(between batches, never mid-case) once resident "
+                        "memory crosses this, so a supervisor restarts the "
+                        "daemon — lossless via the completion-log replay. "
+                        "Needed on the axon IFRT tunnel, which leaks ~37 MB "
+                        "host-side per transferred volume (PERF.md round-4 "
+                        "soak); 0 = off")
     p.add_argument("--multichip", default=None,
                    choices=("spatial", "sweep", "cascade"),
                    help="serve each case over a mesh of ALL local devices "
@@ -181,6 +189,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial retry backoff seconds (doubles per retry)")
     p.add_argument("--seed", type=int, default=None)
     return p
+
+
+def _self_rss_mb() -> float:
+    """This process's resident set in MB (Linux /proc; 0.0 where absent —
+    the RSS limit then never triggers, which is the safe default)."""
+    try:
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
 
 
 def _case_ready(case_dir: str, sizes: dict) -> bool:
@@ -525,6 +546,11 @@ class Server:
             and _case_ready(d, sizes)
         ]
 
+    # exit code for a voluntary RSS-limit recycle (distinct from SIGTERM
+    # preemption's 3): the supervisor should simply restart the daemon —
+    # the completion-log replay makes that lossless
+    EXIT_RECYCLE = 4
+
     def run(self, watch_root: str, poll: float, once: bool) -> int:
         sizes: dict = {}
         if once:
@@ -536,25 +562,66 @@ class Server:
             return 0
         print(f"serve: watching {watch_root} (poll {poll}s)", flush=True)
         self._last_hb = 0.0
+        idle_scans = 0
         while not self._stop:
             if self._reload:
                 self._reload = False
                 self.reload_weights()
             self._heartbeat(poll)
             ready = self.scan(watch_root, sizes)
+            idle_scans = 0 if ready else idle_scans + 1
             if ready:
                 # bounded chunks so the heartbeat stays fresh under a
                 # burst — a supervisor must not kill a busy-but-healthy
                 # daemon mid-batch (staleness bound ~= 8 x per-case time)
+                recycle = False
                 for i0 in range(0, len(ready), 8):
                     self.process_batch(ready[i0 : i0 + 8])
                     self._heartbeat(poll)
                     if self._stop:
                         break
+                    # between chunks only — pending work in THIS chunk was
+                    # served first, so a limit already exceeded at startup
+                    # (misconfigured below baseline) still makes progress
+                    # on every supervisor restart instead of crash-looping
+                    if self._over_rss_limit():
+                        recycle = True
+                        break
+                if recycle:
+                    return self.EXIT_RECYCLE
             else:
+                # idle recycle only after TWO empty scans: the readiness
+                # protocol needs a second sighting before a just-dropped
+                # case becomes ready, and pending work must be served
+                # before a voluntary exit
+                if idle_scans >= 2 and self._over_rss_limit():
+                    return self.EXIT_RECYCLE
                 time.sleep(poll)
         print("serve: drained, exiting", flush=True)
         return 0
+
+    def _over_rss_limit(self) -> bool:
+        """Voluntary recycle watermark (--rss-limit-mb): the axon IFRT
+        tunnel leaks every host->device transfer buffer host-side (~37 MB
+        per flagship volume — PERF.md round-4 'sustained serving soak';
+        jax.live_arrays stays constant, so it is plugin-internal and
+        unfix-able repo-side). Long-lived daemons on that plugin must
+        self-recycle at a watermark: checked BETWEEN batches only (never
+        mid-case), exits EXIT_RECYCLE so a supervisor restarts cleanly —
+        served cases replay from the completion log, in-flight HTTP
+        waiters see the restart note. 0 = off (co-located PJRT runtimes
+        free transfer staging correctly; the limit is for tunnel-style
+        plugins)."""
+        limit = getattr(self, "rss_limit_mb", 0)
+        if not limit:
+            return False
+        rss = _self_rss_mb()
+        if rss < limit:
+            return False
+        print(f"serve: RSS {rss:.0f} MB >= --rss-limit-mb {limit}; "
+              "exiting for supervisor restart (completion log replays, "
+              f"exit code {self.EXIT_RECYCLE})", flush=True)
+        return True
 
     def _heartbeat(self, poll: float) -> None:
         now = time.time()
@@ -632,6 +699,7 @@ def main(argv=None) -> int:
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    server.rss_limit_mb = args.rss_limit_mb
     if args.shard:
         try:
             server.shard = parse_shard(args.shard)

@@ -513,6 +513,55 @@ def test_stale_executable_error_recovers_with_cache_clear(monkeypatch):
     assert calls["n"] == 2 and cleared["n"] == 1
 
 
+def test_rss_limit_recycles_between_batches(tmp_path, monkeypatch):
+    """--rss-limit-mb: once RSS crosses the watermark the daemon finishes
+    its current batch, exits with EXIT_RECYCLE (4), and a restarted daemon
+    replays the completion log — the voluntary-recycle contract for the
+    leaky-transfer tunnel plugin (PERF.md round-4 soak)."""
+    import threading
+    import time as _t
+
+    from brats2019_tpu.data.synthetic import write_case
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    monkeypatch.setattr(
+        cli_serve, "load_serving_params", lambda e: (e, pf, pc)
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    write_case(str(watch / "BraTS19_SYN_000_1"), seed=5, shape=(24, 24, 20),
+               with_seg=False)
+    out_dir = str(tmp_path / "served")
+    server = cli_serve.Server(exp, output_dir=out_dir)
+    server.rss_limit_mb = 123
+    # above the watermark from the start: the first batch must still be
+    # SERVED (the check runs between batches, never preempts one)
+    monkeypatch.setattr(cli_serve, "_self_rss_mb", lambda: 500.0)
+    rc_box = {}
+    t = threading.Thread(
+        target=lambda: rc_box.update(rc=server.run(str(watch), 0.05, False)),
+        daemon=True,
+    )
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert rc_box["rc"] == cli_serve.Server.EXIT_RECYCLE == 4
+    assert server.done == {"BraTS19_SYN_000_1"}  # batch completed first
+    # restart replays the log: the served case is not re-run
+    server2 = cli_serve.Server(exp, output_dir=out_dir)
+    assert "BraTS19_SYN_000_1" in server2.done
+    # limit off (default 0): same conditions, loop keeps running
+    server3 = cli_serve.Server(exp, output_dir=str(tmp_path / "s3"))
+    t3 = threading.Thread(
+        target=lambda: server3.run(str(watch), 0.05, False), daemon=True
+    )
+    t3.start()
+    _t.sleep(1.0)
+    assert t3.is_alive()
+    server3.request_stop()
+    t3.join(timeout=30)
+
+
 # ---- --multichip serving (round 4: mesh-decomposed daemon) ----
 
 
