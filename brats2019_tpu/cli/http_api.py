@@ -282,12 +282,18 @@ class _Handler(BaseHTTPRequestHandler):
                 raise HttpApiError(401, "missing/invalid Authorization "
                                         "bearer token")
             if path == "/healthz":
-                self._send_json(200, {
+                body = {
                     "status": "stopping" if app.stopping else "ok",
                     "done": len(app.done),
                     "uptime_s": round(time.time() - app.started_ts, 1),
                     "ts": time.time(),
-                })
+                }
+                # readiness signal for supervisors when --warmup was
+                # requested (None = warmup off: field omitted, the daemon
+                # compiles lazily on the first case as always)
+                if getattr(app, "warm", None) is not None:
+                    body["warm"] = bool(app.warm)
+                self._send_json(200, body)
             elif path == "/stats":
                 self._send_json(200, _stats_dict(app))
             elif path == "/metrics":

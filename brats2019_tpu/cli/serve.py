@@ -183,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "watch root: --shard 0/4 ... --shard 3/4). "
                         "Deterministic and disjoint; each daemon keeps "
                         "its own --output-dir/log")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile AND pre-run the serving device "
+                        "programs on a zeros canvas before watching, so "
+                        "the first arriving case pays no cold compile. "
+                        "Meant for supervisor-restarted daemons on "
+                        "tunnel-style plugins, where a flagship cold "
+                        "compile is 5-8 min and dominated recycle cost in "
+                        "the round-4 soak (PERF.md); /healthz reports "
+                        "warm:false until done")
     p.add_argument("--retries", type=int, default=1,
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
@@ -221,6 +230,9 @@ class Server:
     # embedding) get artifact emission OFF without touching __init__
     save_probs = False
     save_uncertainty = False
+    # None = warmup not requested; False = warming; True = warmed
+    # (/healthz surfaces this only when not None)
+    warm = None
 
     def __init__(self, exp, output_dir=None, log_dir=None, retries=1,
                  retry_backoff=1.0, ensemble_workdirs=None,
@@ -357,6 +369,22 @@ class Server:
             print(f"serve: weight reload FAILED, keeping current weights: "
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
             return False
+
+    def warmup(self) -> float:
+        """Pre-compile + pre-run the serving device programs on a zeros
+        canvas (--warmup; rationale: Predictor.warmup). Warms the probs
+        program too when this daemon emits QA artifacts. Returns wall
+        seconds; sets ``self.warm`` for /healthz."""
+        self.warm = False
+        t0 = time.time()
+        if self.multichip:
+            self.predictor.warmup()  # multichip rejects the probs flags
+        else:
+            self.predictor.warmup(
+                probs=bool(self.save_probs or self.save_uncertainty)
+            )
+        self.warm = True
+        return time.time() - t0
 
     @property
     def stopping(self) -> bool:
@@ -700,6 +728,8 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     server.rss_limit_mb = args.rss_limit_mb
+    if args.warmup:
+        server.warm = False  # /healthz says warm:false from the first reply
     if args.shard:
         try:
             server.shard = parse_shard(args.shard)
@@ -719,6 +749,13 @@ def main(argv=None) -> int:
         httpd = start_http(server, args.watch_root, args.http,
                            args.http_host, token=args.http_token)
     try:
+        if args.warmup:
+            # after start_http so /healthz answers (warm:false) during the
+            # compile; before the watch loop so the first case is warm
+            print("serve: warming up (compiling serving programs)...",
+                  flush=True)
+            t = server.warmup()
+            print(f"serve: warmup done in {t:.1f}s", flush=True)
         return server.run(args.watch_root, args.poll, args.once)
     finally:
         if httpd is not None:

@@ -115,6 +115,27 @@ class EnsemblePredictor:
     def num_members(self) -> int:
         return len(self._members)
 
+    def warmup(self, probs: bool = False) -> float:
+        """Pre-compile + pre-execute the ensemble serving programs on a
+        zeros canvas (serve --warmup; rationale: Predictor.warmup). Warms
+        the shared member probs program through the same auto dispatch
+        serving uses (member-parallel when several devices exist), the
+        donated accumulate, and the argmax/mean reducers. Returns wall
+        seconds."""
+        from ..data.constants import NUM_MODALITIES
+
+        t0 = time.time()
+        x = jax.device_put(
+            jnp.zeros(self._p.canvas + (NUM_MODALITIES,), jnp.bfloat16),
+            self._p._default_dev,
+        )
+        acc, cnt = self._accum_probs_auto(x)
+        outs = [self._argmax(acc)]
+        if probs:
+            outs.append(self._mean(acc, cnt))
+        jax.block_until_ready(outs)
+        return time.time() - t0
+
     def reload_members(self, members: Sequence[Tuple]) -> None:
         """Swap every member's weights in place with zero recompiles
         (params are traced args of the shared member program) — the

@@ -42,6 +42,7 @@ preset's coarse stage; ``--multichip cascade`` is the mode that doesn't.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -163,6 +164,27 @@ class MultichipPredictor:
                 n_flips=8 if exp.infer.tta_flips else 1,
                 params=self.params,
             )
+
+    def warmup(self) -> float:
+        """Pre-compile + pre-execute the mesh program on a zeros canvas
+        (serve --multichip --warmup; rationale: Predictor.warmup). An
+        all-zero volume exercises the identical static-shape program —
+        content only steers the coarse ROI placement, never the compiled
+        graph. Returns wall seconds."""
+        from ..data.constants import NUM_MODALITIES
+
+        t0 = time.time()
+        x = jnp.zeros(self.canvas + (NUM_MODALITIES,), jnp.bfloat16)
+        if self.mode == "cascade":
+            out = self._cascade(x, self.params, self.params_coarse)
+        else:
+            xz = self._zscore(x)
+            if self.mode == "spatial":
+                out = self._fwd(self.params, xz)
+            else:
+                out = self._sweep(xz, params_override=self.params)
+        jax.block_until_ready(out)
+        return time.time() - t0
 
     def reload_params(self, params_fine, params_coarse=None) -> None:
         """Hot-swap serving weights with ZERO recompiles (serve --multichip

@@ -212,6 +212,41 @@ class Predictor:
 
         self._embed = _embed
 
+    def warmup(self, probs: bool = False) -> float:
+        """Pre-compile AND pre-execute the serving device programs on a
+        zeros canvas, so the first real case pays no cold compile (serve
+        --warmup). On the axon tunnel a flagship cold compile is 5-8 min
+        (the plugin cannot deserialize cached executables — PERF.md round
+        3), and the round-4 soak showed post-recycle cold compiles
+        dominating supervisor-restart cost; warming at daemon startup
+        moves that wall off the first arriving case. Warms exactly the
+        programs serving dispatches: the label program, the paired-stage
+        programs when ``batch_volumes >= 2``, and the probs program when
+        the daemon emits QA artifacts. The per-bucket ``_embed`` variants
+        still compile on first arrival — they are trivial
+        dynamic_update_slice programs (seconds, not minutes). Returns
+        wall seconds; blocks until the device finishes."""
+        from ..data.constants import NUM_MODALITIES
+
+        t0 = time.time()
+        x = jax.device_put(
+            jnp.zeros(self.canvas + (NUM_MODALITIES,), jnp.bfloat16),
+            self._default_dev,
+        )
+        pf, pc = self.params_fine, self.params_coarse
+        outs = [self._fn(pf, pc, x)]
+        if self._pair_dispatcher() is not None:
+            # serving dispatches through the split-stage programs instead
+            # of the monolithic one when pairing is on — warm those
+            j_roi, j_finish = self._fn.stages
+            tiles, start = j_roi(pc, x)
+            outs.append(self._fn.fine_pair(pf, tiles, tiles, start, start))
+            outs.append(j_finish(pf, tiles, start))  # odd-tail program
+        if probs:
+            outs.append(self._fn.probs_fn(pf, pc, x))
+        jax.block_until_ready(outs)
+        return time.time() - t0
+
     def reload_params(self, params_fine, params_coarse=None) -> None:
         """Swap serving weights IN PLACE with zero recompiles: params are
         traced arguments of every compiled program (never baked in), so

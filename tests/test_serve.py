@@ -670,3 +670,84 @@ def test_serve_multichip_rejects_single_device_combos(tmp_path):
             [watch, "--preset", "unit", "--multichip", "sweep"] + extra
         )
         assert rc == 2
+
+
+def test_serve_warmup_precompiles_and_masks_unchanged(tmp_path, monkeypatch):
+    """--warmup (Server.warmup): pre-running the serving programs on a
+    zeros canvas flips the /healthz-visible warm state and must not
+    perturb ANY serving state — a case served by the warmed daemon
+    carries exactly the un-warmed Predictor's masks."""
+    import jax
+
+    from brats2019_tpu.data.case import load_case
+    from brats2019_tpu.data.constants import internal_to_disk
+    from brats2019_tpu.data.synthetic import write_case
+    from brats2019_tpu.infer.predictor import Predictor
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    monkeypatch.setattr(
+        cli_serve, "load_serving_params", lambda e: (e, pf, pc)
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    case = str(watch / "BraTS19_SYN_000_1")
+    write_case(case, seed=11, shape=(40, 36, 28), with_seg=False)
+    out_dir = str(tmp_path / "served")
+
+    server = cli_serve.Server(exp, output_dir=out_dir)
+    assert server.warm is None  # not requested -> /healthz omits the field
+    t = server.warmup()
+    assert t > 0 and server.warm is True
+    rc = server.run(str(watch), poll=0.05, once=True)
+    assert rc == 0
+
+    got, _ = read_nifti(
+        os.path.join(out_dir, "BraTS19_SYN_000_1_pred.nii.gz"),
+        apply_scaling=False,
+    )
+    image = load_case(case, load_seg=False).image
+    ref, _ = Predictor(exp, pf, pc).predict_arrays(image)
+    np.testing.assert_array_equal(np.asarray(got), internal_to_disk(ref))
+
+
+def test_warmup_ensemble_and_multichip_smoke(tmp_path):
+    """EnsemblePredictor/MultichipPredictor warmup: compiles + runs the
+    zeros-canvas pass (probs reducers included) and a real prediction
+    still works afterwards."""
+    import jax
+
+    from brats2019_tpu.data.synthetic import make_case_arrays
+    from brats2019_tpu.infer.ensemble import EnsemblePredictor
+    from brats2019_tpu.infer.multichip import MultichipPredictor
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    pf2 = jax.tree.map(lambda a: a * 1.01, pf)
+    ep = EnsemblePredictor(exp, [(pf, pc), (pf2, pc)])
+    assert ep.warmup(probs=True) > 0
+    image, _ = make_case_arrays(seed=13, shape=(40, 36, 28))
+    labels, _ = ep.predict_arrays(image)
+    assert labels.shape == (40, 36, 28)
+
+    mp = MultichipPredictor(exp, pf, mode="cascade", params_coarse=pc)
+    assert mp.warmup() > 0
+    assert mp.predict_arrays(image).shape == (40, 36, 28)
+
+    # pair-mode (--batch-volumes 2) warms the split-stage programs branch
+    import dataclasses
+
+    from brats2019_tpu.infer.predictor import Predictor
+
+    exp2 = dataclasses.replace(
+        exp, infer=dataclasses.replace(exp.infer, batch_volumes=2)
+    )
+    p2 = Predictor(exp2, pf, pc)
+    assert p2._pair_dispatcher() is not None
+    assert p2.warmup(probs=True) > 0
+
+
+def test_serve_warmup_cli_flag_parses():
+    """--warmup is plumbed through the parser (the heavy end-to-end drive
+    lives in the test above via Server.warmup directly)."""
+    args = cli_serve.build_parser().parse_args(["w", "--warmup"])
+    assert args.warmup is True
+    assert cli_serve.build_parser().parse_args(["w"]).warmup is False
