@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "lands in shard I of N (scale-out batch runs; "
                         "same assignment as serve --shard)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--multichip", default=None,
+                   choices=["cascade", "spatial", "sweep"],
+                   help="re-predict each case over a mesh of ALL local "
+                        "devices (same decompositions as predict "
+                        "--multichip; 'cascade' produces flagship-parity "
+                        "masks). Mesh-parallel validation sweeps")
     return p
 
 
@@ -112,6 +118,15 @@ def main(argv=None) -> int:
         print("error: --ensemble re-predicts; it cannot be combined with "
               "--use-existing", file=sys.stderr)
         return 2
+    if args.multichip and args.use_existing:
+        print("error: --multichip re-predicts; it cannot be combined with "
+              "--use-existing", file=sys.stderr)
+        return 2
+    if args.multichip and args.ensemble:
+        print("error: --multichip does not compose with --ensemble "
+              "(ensembling already member-parallelizes over the local "
+              "devices)", file=sys.stderr)
+        return 2
 
     predictor = None
     if not args.use_existing:
@@ -144,6 +159,26 @@ def main(argv=None) -> int:
             predictor = EnsemblePredictor(exp, members)
             print(f"[evaluate] ensemble of {predictor.num_members} members",
                   flush=True)
+        elif args.multichip:
+            from ..infer.multichip import MultichipPredictor
+
+            if (args.multichip != "cascade" and exp.infer.cascade
+                    and exp.coarse_unet is not None):
+                print("note: --multichip spatial/sweep run a single-stage "
+                      "whole-canvas decomposition; the preset's coarse/fine "
+                      "cascade is bypassed (use --multichip cascade for "
+                      "flagship-parity masks — measured Dice deltas: "
+                      "docs/MULTIHOST.md accuracy table)", file=sys.stderr)
+            try:
+                predictor = MultichipPredictor(
+                    exp, params_fine, mode=args.multichip,
+                    params_coarse=params_coarse,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(f"[evaluate] multichip mode={args.multichip} over "
+                  f"{predictor.env.n_data} devices", flush=True)
         else:
             from ..infer.predictor import Predictor
 

@@ -231,6 +231,12 @@ class MultichipPredictor:
             for d, out in zip(case_dirs, output_paths)
         ]
 
+    def predict_case(self, case):
+        """Predictor API parity (evaluate --multichip comes through here).
+        Multichip mode does not split out prep/device/post timings, so the
+        stats slot is None."""
+        return self.predict_arrays(case.image), None
+
     def predict_arrays(self, image: np.ndarray) -> np.ndarray:
         bbox = brain_bbox_fast_np(image)
         # same prep chain as the single-device Predictor (crop/cast, then

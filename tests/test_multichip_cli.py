@@ -250,3 +250,62 @@ def test_multichip_cli_end_to_end(tmp_path, monkeypatch):
     seg, _ = read_nifti(out, apply_scaling=False)
     assert seg.shape == (32, 32, 32)
     assert set(np.unique(seg)) <= {0, 1, 2, 4}
+
+
+def test_evaluate_multichip_cascade_matches_single_device(tmp_path, monkeypatch):
+    """evaluate --multichip cascade: mesh-parallel validation sweeps must
+    report the same per-case metrics as single-device evaluate (the
+    cascade decomposition's masks match the flagship predictor's)."""
+    import json
+
+    from brats2019_tpu.cli import evaluate as cli_evaluate
+    from brats2019_tpu.configs.presets import PRESETS
+    from brats2019_tpu.data.synthetic import write_dataset
+    from brats2019_tpu.train.checkpoint import export_params
+
+    workdir = tmp_path / "run"
+    pf, pc = _cascade_params()
+    for stage, params in (("fine", pf), ("coarse", pc)):
+        d = workdir / stage
+        d.mkdir(parents=True)
+        export_params(str(d / "params.npz"), params)
+    exp = dataclasses.replace(_cascade_exp(), workdir=str(workdir))
+    monkeypatch.setitem(PRESETS, "mc_eval", exp)
+    data = str(tmp_path / "data")
+    write_dataset(data, 2, shape=(40, 36, 28))
+
+    out_sd = str(tmp_path / "sd.json")
+    rc = cli_evaluate.main([
+        data, "--preset", "mc_eval", "--workdir", str(workdir),
+        "--out", out_sd,
+    ])
+    assert rc == 0
+    out_mc = str(tmp_path / "mc.json")
+    rc = cli_evaluate.main([
+        data, "--preset", "mc_eval", "--workdir", str(workdir),
+        "--multichip", "cascade", "--out", out_mc,
+    ])
+    assert rc == 0
+    with open(out_sd) as f:
+        sd = json.load(f)
+    with open(out_mc) as f:
+        mc = json.load(f)
+    assert sd["n_cases"] == mc["n_cases"] == 2
+    for case, scores in sd["per_case"].items():
+        for k, v in scores.items():
+            # masks agree on >99.9% of voxels (mesh blend reduction order
+            # can flip float ties) => metrics agree tightly, not bitwise
+            assert abs(mc["per_case"][case][k] - v) < 0.02, (case, k)
+
+
+def test_evaluate_multichip_flag_conflicts(tmp_path):
+    from brats2019_tpu.cli import evaluate as cli_evaluate
+
+    rc = cli_evaluate.main([
+        str(tmp_path), "--multichip", "cascade", "--use-existing",
+    ])
+    assert rc == 2
+    rc = cli_evaluate.main([
+        str(tmp_path), "--multichip", "cascade", "--ensemble", "w1", "w2",
+    ])
+    assert rc == 2
