@@ -133,7 +133,9 @@ class EnsemblePredictor:
         outs = [self._argmax(acc)]
         if probs:
             outs.append(self._mean(acc, cnt))
-        jax.block_until_ready(outs)
+        # fetch, not just block — warm the d2h path serving always uses
+        # (rationale: Predictor.warmup)
+        jax.device_get(outs)
         return time.time() - t0
 
     def reload_members(self, members: Sequence[Tuple]) -> None:

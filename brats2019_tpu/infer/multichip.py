@@ -183,7 +183,9 @@ class MultichipPredictor:
                 out = self._fwd(self.params, xz)
             else:
                 out = self._sweep(xz, params_override=self.params)
-        jax.block_until_ready(out)
+        # fetch, not just block — warm the d2h path serving always uses
+        # (rationale: Predictor.warmup)
+        jax.device_get(out)
         return time.time() - t0
 
     def reload_params(self, params_fine, params_coarse=None) -> None:

@@ -215,11 +215,12 @@ class Predictor:
     def warmup(self, probs: bool = False) -> float:
         """Pre-compile AND pre-execute the serving device programs on a
         zeros canvas, so the first real case pays no cold compile (serve
-        --warmup). On the axon tunnel a flagship cold compile is 5-8 min
-        (the plugin cannot deserialize cached executables — PERF.md round
-        3), and the round-4 soak showed post-recycle cold compiles
-        dominating supervisor-restart cost; warming at daemon startup
-        moves that wall off the first arriving case. Warms exactly the
+        --warmup). On the axon tunnel a flagship cold compile ranges from
+        ~3 s (remote side evidently reuses recently-compiled executables)
+        through ~45 s (measured stage_roi 17 s + stage_finish 26 s) up to
+        the 5-8 min the round-4 soak saw post-recycle (PERF.md "serve
+        --warmup validated"); warming at daemon startup moves that whole
+        variance off the first arriving case. Warms exactly the
         programs serving dispatches: the label program, the paired-stage
         programs when ``batch_volumes >= 2``, and the probs program when
         the daemon emits QA artifacts. The per-bucket ``_embed`` variants
@@ -244,7 +245,11 @@ class Predictor:
             outs.append(j_finish(pf, tiles, start))  # odd-tail program
         if probs:
             outs.append(self._fn.probs_fn(pf, pc, x))
-        jax.block_until_ready(outs)
+        # fetch (not just block): serving always device_gets the results,
+        # and on the axon tunnel the d2h path can stall independently of
+        # program readiness — pull the warmup outputs through it so the
+        # first real case's fetch rides an established channel
+        jax.device_get(outs)
         return time.time() - t0
 
     def reload_params(self, params_fine, params_coarse=None) -> None:
