@@ -196,8 +196,95 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-process retries for transient device failures")
     p.add_argument("--retry-backoff", type=float, default=1.0,
                    help="initial retry backoff seconds (doubles per retry)")
+    p.add_argument("--supervise", action="store_true",
+                   help="run the daemon as a supervised child process and "
+                        "restart it on voluntary recycles (exit 4, the "
+                        "--rss-limit-mb watermark) and on crashes (capped "
+                        "by --max-crash-restarts). The supervisor itself "
+                        "never touches the device; pair with --warmup so "
+                        "restarted daemons re-compile during idle startup. "
+                        "Clean exits pass through: 0 (drained), 2 (config "
+                        "error), 3 (SIGTERM preemption)")
+    p.add_argument("--max-crash-restarts", type=int, default=3,
+                   help="with --supervise: give up after this many "
+                        "consecutive UNEXPECTED child exits (recycles via "
+                        "exit 4 are always restarted and reset the count)")
     p.add_argument("--seed", type=int, default=None)
     return p
+
+
+def _strip_supervisor_flags(argv):
+    """The child daemon gets the same CLI minus the supervisor-only flags."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise" or a.startswith("--max-crash-restarts="):
+            continue
+        if a == "--max-crash-restarts":
+            skip = True
+            continue
+        out.append(a)
+    return out
+
+
+def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
+                   _sleep=time.sleep) -> int:
+    """Restart policy around one serving daemon (serve --supervise).
+
+    - exit 4 (EXIT_RECYCLE, the --rss-limit-mb watermark): restart
+      immediately; the completion-log replay makes it lossless and the
+      recycle resets the crash counter (a healthy daemon recycling for
+      hours must never exhaust the crash budget).
+    - exit 0 / 2 / 3 (drained / config error / SIGTERM preemption):
+      pass through — these are deliberate.
+    - anything else (crash): restart with doubling backoff, give up after
+      ``max_crash_restarts`` consecutive crashes (a poison config must
+      not flap forever).
+
+    SIGTERM/SIGINT/SIGHUP are forwarded to the child, so preemption and
+    weight hot-reload work unchanged through the supervisor."""
+    import subprocess
+
+    child = {"proc": None}
+
+    def forward(signum, _frame):
+        p = child["proc"]
+        if p is not None and p.poll() is None:
+            p.send_signal(signum)
+
+    old = {}
+    for s in (signal.SIGTERM, signal.SIGINT) + (
+        (signal.SIGHUP,) if hasattr(signal, "SIGHUP") else ()
+    ):
+        old[s] = signal.signal(s, forward)
+    crashes = 0
+    try:
+        while True:
+            child["proc"] = subprocess.Popen(cmd)
+            rc = child["proc"].wait()
+            if rc == Server.EXIT_RECYCLE:
+                crashes = 0
+                print("supervise: daemon recycled (exit 4); restarting",
+                      flush=True)
+                continue
+            if rc in (0, 2, 3):
+                return rc
+            crashes += 1
+            if crashes > max_crash_restarts:
+                print(f"supervise: giving up after {crashes} consecutive "
+                      f"unexpected exits (last rc={rc})", file=sys.stderr,
+                      flush=True)
+                return rc
+            wait = crash_backoff * (2 ** (crashes - 1))
+            print(f"supervise: daemon exited rc={rc} (crash {crashes}/"
+                  f"{max_crash_restarts}); restarting in {wait:.1f}s",
+                  file=sys.stderr, flush=True)
+            _sleep(wait)
+    finally:
+        for s, h in old.items():
+            signal.signal(s, h)
 
 
 def _self_rss_mb() -> float:
@@ -665,6 +752,16 @@ class Server:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.supervise:
+        # the supervisor stays device-free (it must survive device-claim
+        # failures that kill the child); the child re-enters main() with
+        # the same CLI minus the supervisor flags
+        src = list(sys.argv[1:]) if argv is None else list(argv)
+        cmd = [sys.executable, "-m", "brats2019_tpu.cli.serve",
+               *_strip_supervisor_flags(src)]
+        return supervise_loop(
+            cmd, max_crash_restarts=args.max_crash_restarts
+        )
     from ..utils.jax_setup import setup_jax
 
     setup_jax()

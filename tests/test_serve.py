@@ -751,3 +751,67 @@ def test_serve_warmup_cli_flag_parses():
     args = cli_serve.build_parser().parse_args(["w", "--warmup"])
     assert args.warmup is True
     assert cli_serve.build_parser().parse_args(["w"]).warmup is False
+
+
+def _counter_cmd(tmp_path, codes):
+    """A stub child whose exit code is scripted by invocation count."""
+    import sys as _sys
+
+    counter = tmp_path / "count"
+    counter.write_text("0")
+    script = (
+        "import sys, pathlib\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()); p.write_text(str(n + 1))\n"
+        f"codes = {list(codes)!r}\n"
+        "sys.exit(codes[min(n, len(codes) - 1)])\n"
+    )
+    return [_sys.executable, "-c", script], counter
+
+
+def test_supervise_restarts_on_recycle_then_drains(tmp_path):
+    """exit 4 (rss watermark recycle) restarts; exit 0 passes through."""
+    cmd, counter = _counter_cmd(tmp_path, [4, 4, 0])
+    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=0)
+    assert rc == 0
+    assert counter.read_text() == "3"
+
+
+def test_supervise_gives_up_after_consecutive_crashes(tmp_path):
+    cmd, counter = _counter_cmd(tmp_path, [9, 9, 9, 9])
+    sleeps = []
+    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=2,
+                                  _sleep=sleeps.append)
+    assert rc == 9
+    assert counter.read_text() == "3"  # initial + 2 restarts
+    assert sleeps == [1.0, 2.0]  # doubling backoff
+
+
+def test_supervise_recycle_resets_crash_budget(tmp_path):
+    """A healthy daemon recycling for hours must never exhaust the crash
+    budget: crash, recycle (resets), crash, crash, then give up."""
+    cmd, counter = _counter_cmd(tmp_path, [9, 4, 9, 9, 9])
+    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=2,
+                                  _sleep=lambda _: None)
+    assert rc == 9
+    assert counter.read_text() == "5"
+
+
+def test_supervise_passes_through_deliberate_exits(tmp_path):
+    for code in (2, 3):
+        cmd, counter = _counter_cmd(tmp_path, [code])
+        rc = cli_serve.supervise_loop(cmd, max_crash_restarts=3)
+        assert rc == code
+        assert counter.read_text() == "1"
+        counter.unlink()
+
+
+def test_strip_supervisor_flags():
+    argv = ["watch", "--supervise", "--rss-limit-mb", "900",
+            "--max-crash-restarts", "5", "--warmup"]
+    assert cli_serve._strip_supervisor_flags(argv) == [
+        "watch", "--rss-limit-mb", "900", "--warmup",
+    ]
+    assert cli_serve._strip_supervisor_flags(
+        ["w", "--max-crash-restarts=5"]
+    ) == ["w"]
