@@ -244,12 +244,18 @@ def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
       not flap forever).
 
     SIGTERM/SIGINT/SIGHUP are forwarded to the child, so preemption and
-    weight hot-reload work unchanged through the supervisor."""
+    weight hot-reload work unchanged through the supervisor. Stop signals
+    are STICKY: a SIGTERM that races a child restart window (child gone,
+    or still importing with the default handler, so it dies -15 instead
+    of draining) must end the supervisor as a preemption (exit 3), never
+    be dropped or miscounted as a crash-restart."""
     import subprocess
 
-    child = {"proc": None}
+    child = {"proc": None, "stop": False}
 
     def forward(signum, _frame):
+        if signum != getattr(signal, "SIGHUP", None):
+            child["stop"] = True
         p = child["proc"]
         if p is not None and p.poll() is None:
             p.send_signal(signum)
@@ -262,8 +268,15 @@ def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
     crashes = 0
     try:
         while True:
+            if child["stop"]:
+                return 3  # stop raced the restart window: preemption
             child["proc"] = subprocess.Popen(cmd)
             rc = child["proc"].wait()
+            if child["stop"]:
+                # deliberate child exits keep their meaning; anything else
+                # (killed mid-import, recycle racing the stop) is the
+                # preemption contract
+                return rc if rc in (0, 2, 3) else 3
             if rc == Server.EXIT_RECYCLE:
                 crashes = 0
                 print("supervise: daemon recycled (exit 4); restarting",

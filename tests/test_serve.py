@@ -815,3 +815,112 @@ def test_strip_supervisor_flags():
     assert cli_serve._strip_supervisor_flags(
         ["w", "--max-crash-restarts=5"]
     ) == ["w"]
+
+
+@pytest.mark.slow
+def test_supervise_serves_across_recycles_end_to_end(tmp_path):
+    """The production trio, live: --supervise --rss-limit-mb with a
+    watermark below baseline RSS forces a voluntary recycle after every
+    batch; the supervisor must restart the child (completion-log replay
+    keeps it lossless), a case dropped AFTER a recycle must still be
+    served by the restarted child, and a SIGTERM to the supervisor must
+    forward to the child (exit 3 passes through)."""
+    import signal as _signal
+    import threading
+    import time as _time
+
+    data = str(tmp_path / "train_data")
+    workdir = str(tmp_path / "run")
+    rc = cli_train.main([
+        "--data", data, "--synthetic", "2", "--synthetic-shape",
+        "24", "24", "16", "--preset", "unit", "--steps", "2",
+        "--checkpoint-every", "2", "--workdir", workdir,
+    ])
+    assert rc == 0
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    shutil.copytree(
+        os.path.join(data, "BraTS19_SYN_000_1"), watch / "BraTS19_SYN_000_1"
+    )
+    out_dir = tmp_path / "served"
+
+    def wait_for_pred(name, timeout=180.0):
+        deadline = _time.time() + timeout
+        p = out_dir / f"{name}_pred.nii.gz"
+        while _time.time() < deadline:
+            if p.exists():
+                return True
+            _time.sleep(0.3)
+        return False
+
+    seen = {}
+
+    def driver():
+        seen["case1"] = wait_for_pred("BraTS19_SYN_000_1")
+        if seen["case1"]:
+            # install the second case only after the first recycle window
+            src = tmp_path / "stage_case2"
+            shutil.copytree(os.path.join(data, "BraTS19_SYN_001_1"), src)
+            os.rename(src, watch / "BraTS19_SYN_001_1")
+            seen["case2"] = wait_for_pred("BraTS19_SYN_001_1")
+        # end the supervised daemon either way: SIGTERM forwards to child
+        os.kill(os.getpid(), _signal.SIGTERM)
+
+    t = threading.Thread(target=driver, daemon=True)
+    t.start()
+    rc = cli_serve.main([
+        str(watch), "--preset", "unit", "--workdir", workdir,
+        "--output-dir", str(out_dir), "--poll", "0.2",
+        "--supervise", "--rss-limit-mb", "1",
+    ])
+    t.join(30)
+    assert seen.get("case1"), "first case never served"
+    assert seen.get("case2"), "case dropped after a recycle never served"
+    assert rc == 3  # SIGTERM preemption forwarded through the supervisor
+
+
+def test_supervise_stop_during_crash_backoff_returns_preemption(tmp_path):
+    """A SIGTERM that lands while no child is alive (here: during the
+    crash backoff) must not be dropped — the loop exits 3 instead of
+    restarting (the sticky-stop race fix)."""
+    import signal as _signal
+
+    cmd, counter = _counter_cmd(tmp_path, [9, 9])
+
+    def sig_during_backoff(_wait):
+        os.kill(os.getpid(), _signal.SIGTERM)
+
+    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=5,
+                                  _sleep=sig_during_backoff)
+    assert rc == 3
+    assert counter.read_text() == "1"  # never restarted after the stop
+
+
+def test_supervise_stop_kills_default_handler_child_as_preemption(tmp_path):
+    """A SIGTERM while the child still has the DEFAULT handler (e.g. the
+    import window, before serve installs its own) kills it with -15; the
+    supervisor must report preemption (3), not a crash."""
+    import signal as _signal
+    import sys as _sys
+    import threading
+    import time as _time
+
+    sentinel = tmp_path / "child_up"
+    script = (
+        "import time, pathlib\n"
+        f"pathlib.Path({str(sentinel)!r}).write_text('up')\n"
+        "time.sleep(60)\n"
+    )
+
+    def killer():
+        deadline = _time.time() + 30
+        while not sentinel.exists() and _time.time() < deadline:
+            _time.sleep(0.05)
+        os.kill(os.getpid(), _signal.SIGTERM)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    rc = cli_serve.supervise_loop([_sys.executable, "-c", script],
+                                  max_crash_restarts=0)
+    t.join(10)
+    assert rc == 3

@@ -104,7 +104,18 @@ def http(method, url, data=None, timeout=600):
         return r.status, r.read()
 
 
-def main(duration_s=480, port=18917, rss_limit_mb=0):
+def child_pid(pid):
+    """First child of pid (the supervised daemon under --supervise)."""
+    try:
+        with open(f"/proc/{pid}/task/{pid}/children") as f:
+            kids = f.read().split()
+        return int(kids[0]) if kids else None
+    except (OSError, ValueError):
+        return None
+
+
+def main(duration_s=480, port=18917, rss_limit_mb=0, builtin=False,
+         warmup=False):
     tmp = tempfile.mkdtemp(prefix="exp_soak_")
     workdir = make_workdir(tmp)
     log("building flagship-size cases ...")
@@ -120,6 +131,13 @@ def main(duration_s=480, port=18917, rss_limit_mb=0):
                "--output-dir", out, "--http", str(port)]
         if rss_limit_mb:
             cmd += ["--rss-limit-mb", str(rss_limit_mb)]
+        if warmup:
+            cmd += ["--warmup"]
+        if builtin:
+            # serve runs its OWN supervisor (--supervise): the soak then
+            # only streams requests; recycles are visible as child-pid
+            # changes and as connection resets the client retries through
+            cmd += ["--supervise"]
         return subprocess.Popen(
             cmd,
             cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
@@ -146,12 +164,27 @@ def main(duration_s=480, port=18917, rss_limit_mb=0):
         log(f"daemon healthy (pid {proc.pid}, RSS {rss_mb(proc.pid):.0f} MB)")
 
         walls, rss_track, errors, recycles = [], [], 0, 0
+        kid = child_pid(proc.pid) if builtin else None
         t_end = time.time() + duration_s
         i = 0
         while time.time() < t_end:
-            # supervisor: a voluntary EXIT_RECYCLE (4) gets a restart; the
-            # completion log replays, so no served case is lost
-            if proc.poll() is not None:
+            if builtin:
+                # serve --supervise owns restarts; the soak only notices
+                # them (child pid change) and treats supervisor death as
+                # the failure it is
+                if proc.poll() is not None:
+                    log(f"  SUPERVISOR exited code {proc.returncode}")
+                    errors += 1
+                    return 1
+                k = child_pid(proc.pid)
+                if k is not None and k != kid:
+                    recycles += 1
+                    log(f"  builtin supervisor recycled the daemon "
+                        f"(child {kid} -> {k})")
+                    kid = k
+            # external-supervisor mode: a voluntary EXIT_RECYCLE (4) gets a
+            # restart; the completion log replays, so no served case is lost
+            elif proc.poll() is not None:
                 code = proc.returncode
                 log(f"  daemon exited code {code} "
                     f"({'recycle' if code == 4 else 'UNEXPECTED'}); restarting")
@@ -186,7 +219,7 @@ def main(duration_s=480, port=18917, rss_limit_mb=0):
                 continue
             walls.append(time.time() - t0)
             if i % 10 == 0:
-                rss_track.append((i, rss_mb(proc.pid)))
+                rss_track.append((i, rss_mb(kid if builtin else proc.pid)))
                 log(f"  req {i}: {walls[-1]:.2f}s, RSS {rss_track[-1][1]:.0f} MB")
             i += 1
         n = len(walls)
@@ -220,6 +253,14 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=18917)
     ap.add_argument("--rss-limit-mb", type=int, default=0,
                     help="pass through to serve; the soak then acts as the "
-                         "supervisor (restart on exit code 4)")
+                         "supervisor (restart on exit code 4) unless "
+                         "--builtin-supervisor")
+    ap.add_argument("--builtin-supervisor", action="store_true",
+                    help="launch serve --supervise and let IT handle "
+                         "recycles (round-4 --supervise validation)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pass --warmup to serve (recycled daemons "
+                         "re-compile at startup, off the first case)")
     a = ap.parse_args()
-    raise SystemExit(main(a.duration, a.port, a.rss_limit_mb))
+    raise SystemExit(main(a.duration, a.port, a.rss_limit_mb,
+                          builtin=a.builtin_supervisor, warmup=a.warmup))
