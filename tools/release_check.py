@@ -110,6 +110,20 @@ assert sv.main([watch, "--preset", "smoke", "--workdir", run_dir,
                 "--once", "--postproc", "host"]) == 0
 assert any(f.endswith("_pred.nii.gz")
            for f in os.listdir(os.path.join(tmp, "served")))
+
+# round-4 surfaces: the supervised daemon (child spawned via -m, exit 0
+# passes through) and mesh-parallel evaluate (sweep mode, 1-device mesh
+# here — the 8-device parity lives in tests/)
+watch2 = os.path.join(tmp, "incoming2"); os.makedirs(watch2)
+shutil.copytree(dirs[2], os.path.join(watch2, os.path.basename(dirs[2])))
+assert sv.main([watch2, "--preset", "smoke", "--workdir", run_dir,
+                "--output-dir", os.path.join(tmp, "served2"),
+                "--once", "--postproc", "host", "--supervise"]) == 0
+assert any(f.endswith("_pred.nii.gz")
+           for f in os.listdir(os.path.join(tmp, "served2")))
+assert ev.main([dirs[2], "--preset", "smoke", "--workdir", run_dir,
+                "--multichip", "sweep",
+                "--out", os.path.join(tmp, "eval_mc.json")]) == 0
 print("cli smoke ok")
 """
 
