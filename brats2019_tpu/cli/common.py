@@ -383,3 +383,33 @@ def load_stage_params(
         return restored[0]
     finally:
         ckpt.close()
+
+
+def multichip_mode_notes(mode: str, exp: ExperimentConfig,
+                         batch_volumes=None, serving_depth=None) -> None:
+    """Operator notes shared by the three --multichip CLIs (predict,
+    serve, evaluate), so the contracts stay in one place: the single-stage
+    modes bypass a cascade preset's coarse stage, postprocessing runs on
+    the host, and the single-device serving knobs don't apply."""
+    import sys
+
+    if mode != "cascade" and exp.infer.cascade and exp.coarse_unet is not None:
+        print("note: --multichip spatial/sweep run a single-stage "
+              "whole-canvas decomposition; the preset's coarse/fine "
+              "cascade is bypassed (use --multichip cascade for "
+              "flagship-parity masks — measured Dice deltas: "
+              "docs/MULTIHOST.md accuracy table)", file=sys.stderr)
+    if exp.infer.postproc == "device":
+        print("note: --multichip postprocesses on the host (the in-graph "
+              "device CC lives in the single-device label program)",
+              file=sys.stderr)
+    for flag, name in ((batch_volumes, "--batch-volumes"),
+                       (serving_depth, "--serving-depth")):
+        if flag and flag > 1:
+            print(f"note: {name} has no effect with --multichip "
+                  "(cases run one at a time over the whole mesh)",
+                  file=sys.stderr)
+    if exp.infer.prep_cache_dir:
+        print("note: --prep-cache has no effect with --multichip (the "
+              "payload cache serves the single-device transfer encoding)",
+              file=sys.stderr)

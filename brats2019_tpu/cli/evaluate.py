@@ -161,14 +161,9 @@ def main(argv=None) -> int:
                   flush=True)
         elif args.multichip:
             from ..infer.multichip import MultichipPredictor
+            from .common import multichip_mode_notes
 
-            if (args.multichip != "cascade" and exp.infer.cascade
-                    and exp.coarse_unet is not None):
-                print("note: --multichip spatial/sweep run a single-stage "
-                      "whole-canvas decomposition; the preset's coarse/fine "
-                      "cascade is bypassed (use --multichip cascade for "
-                      "flagship-parity masks — measured Dice deltas: "
-                      "docs/MULTIHOST.md accuracy table)", file=sys.stderr)
+            multichip_mode_notes(args.multichip, exp)
             try:
                 predictor = MultichipPredictor(
                     exp, params_fine, mode=args.multichip,

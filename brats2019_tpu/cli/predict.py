@@ -23,6 +23,7 @@ from ..data.case import discover_cases
 from .common import (
     load_ensemble_members,
     load_stage_params,
+    multichip_mode_notes,
     resolve_experiment,
 )
 
@@ -108,32 +109,11 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
 
     # spatial/sweep are single-stage whole-canvas programs; say so instead
     # of silently dropping knobs the single-device path honors ('cascade'
-    # IS the flagship decomposition — no bypass to warn about)
-    if (args.multichip != "cascade" and exp.infer.cascade
-            and exp.coarse_unet is not None):
-        print("note: --multichip spatial/sweep run a single-stage "
-              "whole-canvas decomposition; the preset's coarse/fine cascade "
-              "is bypassed (use --multichip cascade for flagship-parity "
-              "masks). 'sweep' reproduces the single-device no-cascade "
-              "tiled sweep; 'spatial' is ONE whole-volume forward (no TTA, "
-              "no sliding window, whole-volume InstanceNorm stats) — WT "
-              "masks are close but TC/ET degrade (measured Dice deltas: "
-              "docs/MULTIHOST.md accuracy table)",
-              file=sys.stderr)
-    if exp.infer.postproc == "device":
-        print("note: --multichip postprocesses on the host "
-              "(--postproc device applies to single-device predict/serve)",
-              file=sys.stderr)
-    for flag, name in ((args.batch_volumes, "--batch-volumes"),
-                       (args.serving_depth, "--serving-depth")):
-        if flag and flag > 1:
-            print(f"note: {name} has no effect in --multichip mode "
-                  "(cases run one at a time over the whole mesh)",
-                  file=sys.stderr)
-    if exp.infer.prep_cache_dir:
-        print("note: --prep-cache has no effect in --multichip mode (the "
-              "payload cache serves the single-device transfer encoding)",
-              file=sys.stderr)
+    # IS the flagship decomposition — no bypass to warn about). One shared
+    # helper keeps the three --multichip CLIs' contracts aligned.
+    multichip_mode_notes(args.multichip, exp,
+                         batch_volumes=args.batch_volumes,
+                         serving_depth=args.serving_depth)
 
     try:
         mp = MultichipPredictor(
@@ -173,29 +153,30 @@ def _emit_probs_artifacts(
 ) -> None:
     """ONE probability pass per case feeds BOTH opt-in artifacts (probs
     npz and QU-BraTS uncertainty maps) — works for Predictor and
-    EnsemblePredictor alike; serve reuses it with its --output-dir."""
+    EnsemblePredictor alike; serve reuses it with its --output-dir. Goes
+    through ``probs_for_dir`` so the decode rides the payload disk cache
+    (``--prep-cache``) instead of re-inflating the gzip NIfTIs the label
+    pass just decoded."""
     if not (save_probs or save_unc):
         return
     import os
 
-    from ..data.case import load_case
     from ..infer.predictor import save_probs_npz
     from ..infer.uncertainty import region_uncertainty_maps
     from ..utils.nifti import write_nifti
 
     for d in cases:
-        case = load_case(d, load_seg=False)
-        probs, _ = pred.predict_probs_arrays(case.image, meta=case.meta)
+        case_name, header, probs = pred.probs_for_dir(d)
         dst = output_dir or d
         if save_probs:
             out = save_probs_npz(
-                os.path.join(dst, f"{case.name}_probs.npz"), probs
+                os.path.join(dst, f"{case_name}_probs.npz"), probs
             )
             print(f"[predict] {d} probs -> {out}", flush=True)
         if save_unc:
             for name, u in region_uncertainty_maps(probs).items():
-                out = os.path.join(dst, f"{case.name}_unc_{name}.nii.gz")
-                write_nifti(out, u, like=case.header)
+                out = os.path.join(dst, f"{case_name}_unc_{name}.nii.gz")
+                write_nifti(out, u, like=header)
                 print(f"[predict] {d} uncertainty -> {out}", flush=True)
 
 

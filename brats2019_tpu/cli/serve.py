@@ -36,6 +36,7 @@ from .common import (
     load_ensemble_members,
     load_serving_params,
     load_stage_params,
+    multichip_mode_notes,
     parse_shard,
     resolve_experiment,
     shard_of,
@@ -95,7 +96,12 @@ def classify_failure(e: BaseException) -> str:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="brats2019_tpu.serve", description=__doc__)
+    # allow_abbrev=False: the --supervise child is re-invoked with the raw
+    # argv minus the supervisor flags, stripped by NAME — an abbreviated
+    # `--superv` would parse as --supervise but dodge the strip and spawn
+    # supervisors recursively. No abbreviations, no ambiguity.
+    p = argparse.ArgumentParser(prog="brats2019_tpu.serve",
+                                description=__doc__, allow_abbrev=False)
     p.add_argument("watch_root", help="directory where case dirs appear")
     p.add_argument("--preset", default="cascade", choices=sorted(PRESETS))
     p.add_argument("--workdir", default=None)
@@ -203,8 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "by --max-crash-restarts). The supervisor itself "
                         "never touches the device; pair with --warmup so "
                         "restarted daemons re-compile during idle startup. "
-                        "Clean exits pass through: 0 (drained), 2 (config "
-                        "error), 3 (SIGTERM preemption)")
+                        "Deliberate exits pass through (0 drained, 2 config "
+                        "error); a forwarded SIGTERM/SIGINT always exits 0 "
+                        "(clean stop), whatever window it lands in")
     p.add_argument("--max-crash-restarts", type=int, default=3,
                    help="with --supervise: give up after this many "
                         "consecutive UNEXPECTED child exits (recycles via "
@@ -237,18 +244,21 @@ def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
       immediately; the completion-log replay makes it lossless and the
       recycle resets the crash counter (a healthy daemon recycling for
       hours must never exhaust the crash budget).
-    - exit 0 / 2 / 3 (drained / config error / SIGTERM preemption):
-      pass through — these are deliberate.
+    - exit 0 / 2 / 3 (drained / config error / deliberate):
+      pass through.
     - anything else (crash): restart with doubling backoff, give up after
       ``max_crash_restarts`` consecutive crashes (a poison config must
       not flap forever).
 
-    SIGTERM/SIGINT/SIGHUP are forwarded to the child, so preemption and
+    SIGTERM/SIGINT/SIGHUP are forwarded to the child, so graceful stop and
     weight hot-reload work unchanged through the supervisor. Stop signals
-    are STICKY: a SIGTERM that races a child restart window (child gone,
-    or still importing with the default handler, so it dies -15 instead
-    of draining) must end the supervisor as a preemption (exit 3), never
-    be dropped or miscounted as a crash-restart."""
+    are STICKY and the resulting exit code is DETERMINISTIC: the serve
+    child's own SIGTERM contract is drain-then-exit-0, so a supervisor
+    that received a stop exits 0 regardless of whether the signal reached
+    a draining child, killed one mid-import (default handler, -15), or
+    raced an empty restart window — never dropped, never miscounted as a
+    crash-restart, and never a timing-dependent exit code (a child config
+    error, exit 2, still passes through)."""
     import subprocess
 
     child = {"proc": None, "stop": False}
@@ -269,18 +279,33 @@ def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
     try:
         while True:
             if child["stop"]:
-                return 3  # stop raced the restart window: preemption
+                return 0  # stop raced the restart window: clean stop
+            t_start = time.monotonic()
             child["proc"] = subprocess.Popen(cmd)
             rc = child["proc"].wait()
+            uptime = time.monotonic() - t_start
             if child["stop"]:
-                # deliberate child exits keep their meaning; anything else
-                # (killed mid-import, recycle racing the stop) is the
-                # preemption contract
-                return rc if rc in (0, 2, 3) else 3
+                # a config error keeps its meaning; anything else (clean
+                # drain, killed mid-import, recycle racing the stop) is
+                # the deterministic clean-stop contract
+                return rc if rc == 2 else 0
             if rc == Server.EXIT_RECYCLE:
                 crashes = 0
-                print("supervise: daemon recycled (exit 4); restarting",
-                      flush=True)
+                # a watermark at/below the daemon's BASELINE RSS recycles
+                # after every batch — or, idle, after two empty scans.
+                # Busy daemons still make progress (pending work is served
+                # before the voluntary exit), but an idle one would spin
+                # load-weights/compile loops; pace fast recycles instead
+                # of hot-looping
+                if uptime < 30.0:
+                    print(f"supervise: daemon recycled after only "
+                          f"{uptime:.1f}s — --rss-limit-mb is likely at or "
+                          "below baseline RSS; pacing restarts (10s)",
+                          file=sys.stderr, flush=True)
+                    _sleep(10.0)
+                else:
+                    print("supervise: daemon recycled (exit 4); restarting",
+                          flush=True)
                 continue
             if rc in (0, 2, 3):
                 return rc
@@ -356,11 +381,9 @@ class Server:
                 raise ValueError(
                     "--multichip does not compose with --ensemble"
                 )
-            if exp.infer.postproc == "device":
-                print("serve: --multichip postprocesses on the host (the "
-                      "in-graph device CC belongs to the single-device "
-                      "label program); masks are identical either way",
-                      file=sys.stderr)
+            # operator notes (postproc-on-host etc.) are printed by the
+            # CLI via common.multichip_mode_notes; masks are identical
+            # either way
             self.predictor = MultichipPredictor(
                 exp, params_fine, mode=multichip,
                 params_coarse=params_coarse,
@@ -807,23 +830,9 @@ def main(argv=None) -> int:
                 print(f"error: --multichip does not compose with {name}",
                       file=sys.stderr)
                 return 2
-        if (args.multichip != "cascade" and exp.infer.cascade
-                and exp.coarse_unet is not None):
-            print("note: --multichip spatial/sweep serve a single-stage "
-                  "whole-canvas decomposition; the preset's coarse/fine "
-                  "cascade is bypassed (use --multichip cascade for "
-                  "flagship-parity masks; accuracy table: "
-                  "docs/MULTIHOST.md)", file=sys.stderr)
-        for flag, name in ((args.batch_volumes, "--batch-volumes"),
-                           (args.serving_depth, "--serving-depth")):
-            if flag and flag > 1:
-                print(f"note: {name} has no effect with --multichip "
-                      "(cases run one at a time over the whole mesh)",
-                      file=sys.stderr)
-        if exp.infer.prep_cache_dir:
-            print("note: --prep-cache has no effect with --multichip (the "
-                  "payload cache serves the single-device transfer "
-                  "encoding)", file=sys.stderr)
+        multichip_mode_notes(args.multichip, exp,
+                             batch_volumes=args.batch_volumes,
+                             serving_depth=args.serving_depth)
 
     try:
         server = Server(

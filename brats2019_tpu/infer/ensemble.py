@@ -358,18 +358,25 @@ class EnsemblePredictor:
             drain_one()
         return outs
 
-    def predict_probs_dir(
-        self, case_dir: str, output_path: Optional[str] = None
-    ) -> str:
-        """Ensemble-mean probability canvas as ``<case>_probs.npz`` (same
-        artifact contract as Predictor.predict_probs_dir)."""
-        name, _header, canvas_img, shape, bbox = self._p._prep_dir_to(
+    def probs_for_dir(self, case_dir: str):
+        """Cache-aware ensemble-mean probability pass for one case dir
+        (rationale: Predictor.probs_for_dir). Returns
+        ``(name, header, probs)``."""
+        name, header, canvas_img, shape, bbox = self._p._prep_dir_to(
             case_dir, self._p._default_dev
         )
         canvas_p = self._mean_probs_canvas(canvas_img)
         probs = self._p._uncrop(canvas_p, shape, bbox)
         empty = probs.sum(-1) == 0
         probs[empty, 0] = 1.0
+        return name, header, probs
+
+    def predict_probs_dir(
+        self, case_dir: str, output_path: Optional[str] = None
+    ) -> str:
+        """Ensemble-mean probability canvas as ``<case>_probs.npz`` (same
+        artifact contract as Predictor.predict_probs_dir)."""
+        name, _header, probs = self.probs_for_dir(case_dir)
         if output_path is None:
             output_path = os.path.join(case_dir, f"{name}_probs.npz")
         return save_probs_npz(output_path, probs)

@@ -623,16 +623,25 @@ class Predictor:
         canvas_p[sx:sx + rx, sy:sy + ry, sz:sz + rz] = probs_np
         return canvas_p
 
+    def probs_for_dir(self, case_dir: str):
+        """Cache-aware probability pass for one case directory: the decode
+        rides the payload disk cache (``--prep-cache``) and bucketed
+        transfer exactly like the label pass, instead of re-decoding from
+        gzip (the QA-artifact path previously paid the full decode a
+        second time per served case). Returns ``(name, header, probs)``."""
+        name, header, canvas_img, shape, bbox = self._prep_dir_to(
+            case_dir, self._default_dev
+        )
+        probs, _, _ = self._probs_from_prepped(canvas_img, shape, bbox)
+        return name, header, probs
+
     def predict_probs_dir(
         self, case_dir: str, output_path: Optional[str] = None
     ) -> str:
         """Write a case's probability canvas as ``<case>_probs.npz``
         (float16 ``probs`` (X, Y, Z, 4) + ``classes`` naming the channel
         order in BraTS disk labels [0, 1, 2, 4])."""
-        name, _header, canvas_img, shape, bbox = self._prep_dir_to(
-            case_dir, self._default_dev
-        )
-        probs, _, _ = self._probs_from_prepped(canvas_img, shape, bbox)
+        name, _header, probs = self.probs_for_dir(case_dir)
         if output_path is None:
             output_path = os.path.join(case_dir, f"{name}_probs.npz")
         return save_probs_npz(output_path, probs)

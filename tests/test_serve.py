@@ -770,11 +770,15 @@ def _counter_cmd(tmp_path, codes):
 
 
 def test_supervise_restarts_on_recycle_then_drains(tmp_path):
-    """exit 4 (rss watermark recycle) restarts; exit 0 passes through."""
+    """exit 4 (rss watermark recycle) restarts; exit 0 passes through.
+    Instant recycles (uptime < 30s, as with a stub child) are paced."""
     cmd, counter = _counter_cmd(tmp_path, [4, 4, 0])
-    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=0)
+    sleeps = []
+    rc = cli_serve.supervise_loop(cmd, max_crash_restarts=0,
+                                  _sleep=sleeps.append)
     assert rc == 0
     assert counter.read_text() == "3"
+    assert sleeps == [10.0, 10.0]  # fast-recycle pacing, not a hot loop
 
 
 def test_supervise_gives_up_after_consecutive_crashes(tmp_path):
@@ -815,6 +819,14 @@ def test_strip_supervisor_flags():
     assert cli_serve._strip_supervisor_flags(
         ["w", "--max-crash-restarts=5"]
     ) == ["w"]
+
+
+def test_serve_parser_rejects_abbreviations():
+    """allow_abbrev=False: an abbreviated --superv would parse as
+    --supervise but dodge the name-based strip, making the supervised
+    child spawn supervisors recursively — the parser must reject it."""
+    with pytest.raises(SystemExit):
+        cli_serve.build_parser().parse_args(["w", "--superv"])
 
 
 @pytest.mark.slow
@@ -876,13 +888,16 @@ def test_supervise_serves_across_recycles_end_to_end(tmp_path):
     t.join(30)
     assert seen.get("case1"), "first case never served"
     assert seen.get("case2"), "case dropped after a recycle never served"
-    assert rc == 3  # SIGTERM preemption forwarded through the supervisor
+    # deterministic clean-stop contract: a forwarded SIGTERM exits 0
+    # whatever window it lands in (draining child, import window, or
+    # between children)
+    assert rc == 0
 
 
-def test_supervise_stop_during_crash_backoff_returns_preemption(tmp_path):
+def test_supervise_stop_during_crash_backoff_is_clean_stop(tmp_path):
     """A SIGTERM that lands while no child is alive (here: during the
-    crash backoff) must not be dropped — the loop exits 3 instead of
-    restarting (the sticky-stop race fix)."""
+    crash backoff) must not be dropped — the loop exits 0 (the
+    deterministic clean-stop contract) instead of restarting."""
     import signal as _signal
 
     cmd, counter = _counter_cmd(tmp_path, [9, 9])
@@ -892,14 +907,15 @@ def test_supervise_stop_during_crash_backoff_returns_preemption(tmp_path):
 
     rc = cli_serve.supervise_loop(cmd, max_crash_restarts=5,
                                   _sleep=sig_during_backoff)
-    assert rc == 3
+    assert rc == 0
     assert counter.read_text() == "1"  # never restarted after the stop
 
 
-def test_supervise_stop_kills_default_handler_child_as_preemption(tmp_path):
+def test_supervise_stop_kills_default_handler_child_as_clean_stop(tmp_path):
     """A SIGTERM while the child still has the DEFAULT handler (e.g. the
     import window, before serve installs its own) kills it with -15; the
-    supervisor must report preemption (3), not a crash."""
+    supervisor must report a clean stop (0, same as a drained child),
+    not a crash."""
     import signal as _signal
     import sys as _sys
     import threading
@@ -923,4 +939,4 @@ def test_supervise_stop_kills_default_handler_child_as_preemption(tmp_path):
     rc = cli_serve.supervise_loop([_sys.executable, "-c", script],
                                   max_crash_restarts=0)
     t.join(10)
-    assert rc == 3
+    assert rc == 0
