@@ -282,6 +282,15 @@ def supervise_loop(cmd, max_crash_restarts=3, crash_backoff=1.0,
                 return 0  # stop raced the restart window: clean stop
             t_start = time.monotonic()
             child["proc"] = subprocess.Popen(cmd)
+            if child["stop"]:
+                # a stop signal that landed between the top-of-loop check
+                # and Popen was forwarded to the PREVIOUS (exited) proc or
+                # none at all; re-deliver it to the fresh child so the
+                # sticky-stop contract holds without a second signal
+                try:
+                    child["proc"].send_signal(signal.SIGTERM)
+                except OSError:
+                    pass
             rc = child["proc"].wait()
             uptime = time.monotonic() - t_start
             if child["stop"]:

@@ -144,12 +144,24 @@ def _entry_key(fn: str):
 
 
 def _prune_superseded(cache_dir: str, mine: str) -> None:
+    """Remove same-key entries older than the one just written. Entries
+    with a NEWER mtime are left alone: with two serve shards racing on a
+    re-uploaded case, the later writer must win regardless of deletion
+    order (lookups self-validate via the signature hash in the filename,
+    so the worst case of any remaining race is one wasted re-encode, never
+    a wrong payload)."""
     key = _entry_key(mine)
     if key is None:
         return
+    try:
+        my_mtime = os.path.getmtime(os.path.join(cache_dir, mine))
+    except OSError:
+        return
     for fn in os.listdir(cache_dir):
         if fn.endswith(".npz") and fn != mine and _entry_key(fn) == key:
+            p = os.path.join(cache_dir, fn)
             try:
-                os.remove(os.path.join(cache_dir, fn))
+                if os.path.getmtime(p) <= my_mtime:
+                    os.remove(p)
             except OSError:
                 pass

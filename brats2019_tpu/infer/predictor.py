@@ -497,7 +497,15 @@ class Predictor:
         cap = self.exp.infer.payload_memo_volumes
         if cap <= 0:
             return self._encode_host(image, meta)
-        key = id(image)
+        # the bbox source is part of the key: the same array submitted once
+        # with the loader's fused bbox meta and once without must not alias
+        # to whichever payload was computed first (the two bbox paths are
+        # equivalent by test, but provenance must not silently cross)
+        meta_tok = None if meta is None else (
+            tuple(int(v) for v in meta["bbox_lo"]),
+            tuple(int(v) for v in meta["bbox_hi"]),
+        )
+        key = (id(image), meta_tok)
         with self._memo_lock:
             for k in [k for k, e in self._payload_memo.items()
                       if e[0]() is None]:

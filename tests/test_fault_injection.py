@@ -17,6 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _env():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # skip axon; run on CPU
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)  # and compile locally
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["BRATS2019_TPU_COMPILE_CACHE"] = "/root/.cache/jax_test_cache"

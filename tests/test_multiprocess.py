@@ -14,6 +14,7 @@ _WORKER = textwrap.dedent(
     """
     import os, sys
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     pid = int(sys.argv[1])

@@ -830,7 +830,7 @@ def test_serve_parser_rejects_abbreviations():
 
 
 @pytest.mark.slow
-def test_supervise_serves_across_recycles_end_to_end(tmp_path):
+def test_supervise_serves_across_recycles_end_to_end(tmp_path, local_child_env):
     """The production trio, live: --supervise --rss-limit-mb with a
     watermark below baseline RSS forces a voluntary recycle after every
     batch; the supervisor must restart the child (completion-log replay
