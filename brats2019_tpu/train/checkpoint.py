@@ -91,10 +91,14 @@ class CheckpointManager:
 
     def _flush_best_metric(self) -> None:
         """Write the pending best metric; call ONLY after the best-save
-        commit is guaranteed (wait_until_finished)."""
+        commit is guaranteed (wait_until_finished). Only process 0 writes —
+        on a multi-host slice every process reaches the identical decision
+        (the metric is replicated), and N hosts writing one shared-FS file
+        is a pointless race."""
         if getattr(self, "_pending_best", None) is not None:
-            with open(os.path.join(self.best_dir, "metric.json"), "w") as f:
-                json.dump(self._pending_best, f)
+            if jax.process_index() == 0:
+                with open(os.path.join(self.best_dir, "metric.json"), "w") as f:
+                    json.dump(self._pending_best, f)
             self._pending_best = None
 
     def wait(self) -> None:

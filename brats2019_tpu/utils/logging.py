@@ -13,21 +13,38 @@ import time
 from typing import Dict
 
 
+def _is_primary_process() -> bool:
+    """True on process 0 (and on any single-process run). On a multi-host
+    slice every process computes identical replicated metrics; only the
+    primary writes the JSONL/TB files and prints — N processes appending
+    to one shared-filesystem file would interleave duplicates."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricsLogger:
     def __init__(self, workdir: str, name: str = "train"):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, f"{name}_metrics.jsonl")
-        self._f = open(self.path, "a", buffering=1)
+        self._primary = _is_primary_process()
+        self._f = open(self.path, "a", buffering=1) if self._primary else None
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter
+        if self._primary:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self._tb = SummaryWriter(os.path.join(workdir, "tb"))
-        except Exception:
-            pass
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception:
+                pass
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        if not self._primary:
+            return
         rec = {"step": step, "time": round(time.time() - self._t0, 3)}
         for k, v in metrics.items():
             rec[prefix + k] = float(v)
@@ -39,6 +56,7 @@ class MetricsLogger:
         print(f"[step {step}] {parts}", flush=True)
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()

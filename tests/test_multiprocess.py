@@ -60,6 +60,61 @@ _WORKER = textwrap.dedent(
 
 
 @pytest.mark.slow
+def test_two_process_flagship_train_and_cascade_predict(tmp_path):
+    """The REAL multi-process path (VERDICT round-4 #2): train_stage at
+    2 processes x 4 virtual CPU devices (global mesh 8) — per-process
+    pools, globally-sharded batches, pmean grads, on-mesh eval, orbax
+    save, then RESUME across both processes — plus a mesh-decomposed
+    cascade predict under the same 2-process mesh. Loss and mask parity
+    vs the identical workload on the single-process 8-device mesh."""
+    import numpy as np
+
+    from brats2019_tpu.data import synthetic
+    from brats2019_tpu.parallel.multiprocess import (
+        decode_mask, flagship_workload, launch_workers,
+    )
+
+    data = str(tmp_path / "data")
+    synthetic.write_dataset(data, 2, shape=(64, 32, 32))
+
+    # single-process 8-device reference, same function, in-process
+    ref = flagship_workload(data, str(tmp_path / "run_sp"))
+    assert ref["process_count"] == 1
+    assert np.isfinite(ref["loss_first"]) and np.isfinite(ref["loss_resumed"])
+
+    results = launch_workers(
+        data, str(tmp_path / "run_mp"),
+        num_processes=2, devices_per_process=4,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["device_count"] == 8
+    # the workload's outputs are replicated: both processes must agree
+    # bitwise with each other
+    assert results[0]["mask_sha1"] == results[1]["mask_sha1"]
+    assert results[0]["loss_first"] == results[1]["loss_first"]
+    assert results[0]["loss_resumed"] == results[1]["loss_resumed"]
+    # and with the single-process mesh up to collective reduction order
+    np.testing.assert_allclose(
+        results[0]["loss_first"], ref["loss_first"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        results[0]["loss_resumed"], ref["loss_resumed"], rtol=1e-4
+    )
+    # resume actually progressed training past the first checkpoint
+    assert results[0]["loss_resumed"] != results[0]["loss_first"]
+    # cascade predict mask parity across process topologies: the
+    # cross-process psum is not bitwise identical to the single-process
+    # collective (reduction order), so blended-probability argmax ties may
+    # flip isolated voxels — bound the delta at 0.1% of the volume
+    mask_mp = decode_mask(results[0])
+    mask_sp = decode_mask(ref)
+    mismatch = float((mask_mp != mask_sp).mean())
+    assert mismatch <= 1e-3, f"mask mismatch fraction {mismatch}"
+
+
+@pytest.mark.slow
 def test_two_process_distributed_smoke(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
