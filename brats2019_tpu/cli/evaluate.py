@@ -122,10 +122,10 @@ def main(argv=None) -> int:
         print("error: --multichip re-predicts; it cannot be combined with "
               "--use-existing", file=sys.stderr)
         return 2
-    if args.multichip and args.ensemble:
-        print("error: --multichip does not compose with --ensemble "
-              "(ensembling already member-parallelizes over the local "
-              "devices)", file=sys.stderr)
+    if args.multichip and args.ensemble and args.multichip != "cascade":
+        print("error: --ensemble composes only with --multichip cascade "
+              "(spatial/sweep are single-stage whole-canvas programs)",
+              file=sys.stderr)
         return 2
 
     predictor = None
@@ -145,8 +145,8 @@ def main(argv=None) -> int:
                 exp = dataclasses.replace(
                     exp, infer=dataclasses.replace(exp.infer, cascade=False)
                 )
+        members = None
         if args.ensemble:
-            from ..infer.ensemble import EnsemblePredictor
             from .common import load_ensemble_members
 
             try:
@@ -156,10 +156,7 @@ def main(argv=None) -> int:
             except FileNotFoundError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
-            predictor = EnsemblePredictor(exp, members)
-            print(f"[evaluate] ensemble of {predictor.num_members} members",
-                  flush=True)
-        elif args.multichip:
+        if args.multichip:
             from ..infer.multichip import MultichipPredictor
             from .common import multichip_mode_notes
 
@@ -167,13 +164,21 @@ def main(argv=None) -> int:
             try:
                 predictor = MultichipPredictor(
                     exp, params_fine, mode=args.multichip,
-                    params_coarse=params_coarse,
+                    params_coarse=params_coarse, members=members,
                 )
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
             print(f"[evaluate] multichip mode={args.multichip} over "
-                  f"{predictor.env.n_data} devices", flush=True)
+                  f"{predictor.env.n_data} devices"
+                  + (f", ensemble of {predictor.num_members} members"
+                     if members else ""), flush=True)
+        elif members is not None:
+            from ..infer.ensemble import EnsemblePredictor
+
+            predictor = EnsemblePredictor(exp, members)
+            print(f"[evaluate] ensemble of {predictor.num_members} members",
+                  flush=True)
         else:
             from ..infer.predictor import Predictor
 

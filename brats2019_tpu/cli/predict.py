@@ -80,7 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference paper's teacher-ensemble semantics). All "
                         "members share one compiled program — params are "
                         "traced arguments, so extra members add zero "
-                        "recompiles. Not available with --multichip")
+                        "recompiles. Composes with --multichip cascade "
+                        "(one mesh program runs every member's sweep); "
+                        "not with spatial/sweep")
     p.add_argument("--multichip", default=None,
                    choices=("spatial", "sweep", "cascade"),
                    help="run inference over ALL local devices as one mesh: "
@@ -115,15 +117,30 @@ def _predict_multichip(args, exp, params_fine, params_coarse, cases) -> int:
                          batch_volumes=args.batch_volumes,
                          serving_depth=args.serving_depth)
 
+    members = None
+    if args.ensemble:
+        # ensemble x mesh composition (VERDICT round-4 #3): K members'
+        # cascade sweeps in ONE mesh program, EnsemblePredictor masks at
+        # mesh-parallel cost
+        try:
+            members = load_ensemble_members(
+                exp, args.ensemble, (params_fine, params_coarse)
+            )
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     try:
         mp = MultichipPredictor(
-            exp, params_fine, mode=args.multichip, params_coarse=params_coarse
+            exp, params_fine, mode=args.multichip,
+            params_coarse=params_coarse, members=members,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     print(f"[predict] multichip mode={args.multichip} over "
-          f"{mp.env.n_data} devices", flush=True)
+          f"{mp.env.n_data} devices"
+          + (f", ensemble of {mp.num_members} members" if members else ""),
+          flush=True)
     if args.profile:
         import jax
 
@@ -290,11 +307,13 @@ def main(argv=None) -> int:
     if args.multichip:
         if args.save_probs or args.save_uncertainty:
             print("error: --save-probs/--save-uncertainty are not "
-                  "available with --multichip", file=sys.stderr)
+                  "available with --multichip (the probs pass is a "
+                  "single-device program)", file=sys.stderr)
             return 2
-        if args.ensemble:
-            print("error: --ensemble is not available with --multichip",
-                  file=sys.stderr)
+        if args.ensemble and args.multichip != "cascade":
+            print("error: --ensemble composes only with --multichip "
+                  "cascade (spatial/sweep are single-stage whole-canvas "
+                  "programs)", file=sys.stderr)
             return 2
         return _predict_multichip(args, exp, params_fine, params_coarse, cases)
 

@@ -386,19 +386,25 @@ class Server:
             # rejects those combos before we get here).
             from ..infer.multichip import MultichipPredictor
 
+            members = None
             if ensemble_workdirs:
-                raise ValueError(
-                    "--multichip does not compose with --ensemble"
+                # ensemble x mesh composition (cascade mode only — the
+                # predictor rejects spatial/sweep): K members' cascade
+                # sweeps in ONE mesh program, EnsemblePredictor masks
+                members = load_ensemble_members(
+                    exp, ensemble_workdirs, (params_fine, params_coarse)
                 )
             # operator notes (postproc-on-host etc.) are printed by the
             # CLI via common.multichip_mode_notes; masks are identical
             # either way
             self.predictor = MultichipPredictor(
                 exp, params_fine, mode=multichip,
-                params_coarse=params_coarse,
+                params_coarse=params_coarse, members=members,
             )
             print(f"serve: multichip mode={multichip} over "
-                  f"{self.predictor.env.n_data} devices", flush=True)
+                  f"{self.predictor.env.n_data} devices"
+                  + (f", ensemble of {self.predictor.num_members} members"
+                     if members else ""), flush=True)
         elif ensemble_workdirs:
             from ..infer.ensemble import EnsemblePredictor
 
@@ -829,16 +835,21 @@ def main(argv=None) -> int:
     exp = dataclasses.replace(exp, infer=infer)
 
     if args.multichip:
-        # the probs pass behind the QA artifacts and the ensemble
-        # accumulator are single-device programs; refuse loudly instead of
-        # serving something other than what the flags promise
-        for flag, name in ((args.ensemble, "--ensemble"),
-                           (args.save_probs, "--save-probs"),
+        # the probs pass behind the QA artifacts is a single-device
+        # program; refuse loudly instead of serving something other than
+        # what the flags promise. --ensemble composes with cascade mode
+        # (one mesh program runs every member's sweep); not spatial/sweep
+        for flag, name in ((args.save_probs, "--save-probs"),
                            (args.save_uncertainty, "--save-uncertainty")):
             if flag:
                 print(f"error: --multichip does not compose with {name}",
                       file=sys.stderr)
                 return 2
+        if args.ensemble and args.multichip != "cascade":
+            print("error: --ensemble composes only with --multichip "
+                  "cascade (spatial/sweep are single-stage whole-canvas "
+                  "programs)", file=sys.stderr)
+            return 2
         multichip_mode_notes(args.multichip, exp,
                              batch_volumes=args.batch_volumes,
                              serving_depth=args.serving_depth)

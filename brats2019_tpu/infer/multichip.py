@@ -78,16 +78,24 @@ class MultichipPredictor:
         mode: str = "sweep",
         env: Optional[MeshEnv] = None,
         params_coarse=None,
+        members=None,
     ):
         if mode not in ("spatial", "sweep", "cascade"):
             raise ValueError(
                 f"multichip mode must be spatial|sweep|cascade, got {mode!r}"
+            )
+        if members is not None and mode != "cascade":
+            raise ValueError(
+                "--multichip ensemble composition is cascade-mode only "
+                "(spatial/sweep are single-stage whole-canvas programs); "
+                "use --multichip cascade with --ensemble"
             )
         self.exp = exp
         self.mode = mode
         self.env = env or make_mesh()
         self.canvas = tuple(exp.infer.canvas or exp.train.pool_shape)
         self.params = jax.device_put(params_fine, self.env.replicated())
+        self._members = None
         # jit-once like every other program here (NOT per predict_arrays
         # call — re-tracing per case costs a compile-cache lookup, and a
         # full remote compile when the cache is cold)
@@ -113,6 +121,30 @@ class MultichipPredictor:
             )
             fine_model = UNet3D(ucfg)
             coarse_model = UNet3D(exp.coarse_unet)
+            if members is not None:
+                # K-member ensemble x mesh composition (VERDICT round-4
+                # #3): one mesh program runs every member's cascade sweep
+                # and argmaxes the accumulated mean — the EnsemblePredictor
+                # semantics at mesh-parallel cost (parallel/spatial.py
+                # distributed_cascade_ensemble)
+                from ..parallel.spatial import distributed_cascade_ensemble
+
+                self._put_members(members)
+                self._ensemble = distributed_cascade_ensemble(
+                    lambda p, x: fine_model.apply(p, x),
+                    lambda p, x: coarse_model.apply(p, x),
+                    self.env,
+                    exp.infer,
+                    self.canvas,
+                    ucfg.num_classes,
+                    self._members_fine,
+                    self._members_coarse,
+                    stem=ucfg.stem_downsample,
+                    fine_lowres_apply=lambda p, x: fine_model.apply(
+                        p, x, subpixel=False
+                    ),
+                )
+                return
             self._cascade = distributed_cascade_sweep(
                 lambda p, x: fine_model.apply(p, x),
                 lambda p, x: coarse_model.apply(p, x),
@@ -165,6 +197,30 @@ class MultichipPredictor:
                 params=self.params,
             )
 
+    def _put_members(self, members) -> None:
+        """Commit the (params_fine, params_coarse) member pairs replicated
+        onto the mesh. Cascade-mode members need a coarse stage each
+        (cli/common.load_ensemble_members substitutes the primary's)."""
+        repl = self.env.replicated()
+        mfs, mcs = [], []
+        for pf, pc in members:
+            if pc is None:
+                raise ValueError(
+                    "--multichip cascade --ensemble needs a coarse stage "
+                    "per member (none found and no primary to substitute)"
+                )
+            mfs.append(jax.device_put(pf, repl))
+            mcs.append(jax.device_put(pc, repl))
+        self._members = list(zip(mfs, mcs))
+        self._members_fine = mfs
+        self._members_coarse = mcs
+
+    @property
+    def num_members(self) -> int:
+        """Ensemble member count (1 when not an ensemble) — API parity
+        with EnsemblePredictor for the CLIs' log lines."""
+        return len(self._members) if self._members is not None else 1
+
     def warmup(self) -> float:
         """Pre-compile + pre-execute the mesh program on a zeros canvas
         (serve --multichip --warmup; rationale: Predictor.warmup). An
@@ -175,7 +231,9 @@ class MultichipPredictor:
 
         t0 = time.time()
         x = jnp.zeros(self.canvas + (NUM_MODALITIES,), jnp.bfloat16)
-        if self.mode == "cascade":
+        if self._members is not None:
+            out = self._ensemble(x, self._members_fine, self._members_coarse)
+        elif self.mode == "cascade":
             out = self._cascade(x, self.params, self.params_coarse)
         else:
             xz = self._zscore(x)
@@ -202,6 +260,17 @@ class MultichipPredictor:
             self.params_coarse = jax.device_put(
                 params_coarse, self.env.replicated()
             )
+
+    def reload_members(self, members) -> None:
+        """Hot-swap every ensemble member's weights with zero recompiles
+        (members are traced args of the jitted mesh program; a changed
+        member COUNT retraces once) — the serve daemon's SIGHUP arm for
+        --multichip cascade --ensemble."""
+        if self._members is None:
+            raise ValueError("reload_members on a non-ensemble predictor")
+        if not members:
+            raise ValueError("reload_members needs at least one member")
+        self._put_members(members)
 
     def predict_dir(self, case_dir: str, output_path: Optional[str] = None):
         """Serving-daemon API parity with Predictor: predict one BraTS case
@@ -244,6 +313,20 @@ class MultichipPredictor:
         # same prep chain as the single-device Predictor (crop/cast, then
         # the DEVICE z-score) so masks match it, not just approximate it
         canvas_img = crop_cast_fit_np(image, bbox, self.canvas)
+        if self._members is not None:
+            # ensemble composition: the mesh program returns FULL-canvas
+            # labels (members may localize different ROIs; the mean
+            # accumulates on a canvas inside the program)
+            labels_c = np.asarray(jax.device_get(self._ensemble(
+                jnp.asarray(canvas_img),
+                self._members_fine, self._members_coarse,
+            )))
+            labels = uncrop_labels(labels_c, bbox.shape, bbox, self.canvas)
+            return postprocess_labels(
+                labels,
+                min_component_voxels=self.exp.infer.min_component_voxels,
+                et_min_voxels=self.exp.infer.et_min_voxels,
+            )
         if self.mode == "cascade":
             # z-score runs INSIDE the mesh program (exactly where the
             # single-device cascade program runs it); the device returns

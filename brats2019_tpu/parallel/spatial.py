@@ -274,49 +274,30 @@ def _maybe_flip_blocks(p: jnp.ndarray, flip_id: jnp.ndarray) -> jnp.ndarray:
     return p
 
 
-def distributed_cascade_sweep(
+def _cascade_member_sweep(
     fine_apply: Callable,
     coarse_apply: Callable,
-    env: MeshEnv,
     cfg,                                   # InferenceConfig
     canvas: Tuple[int, int, int],
     num_classes: int,
-    params_fine,
-    params_coarse,
+    n_dev: int,
     stem: int = 1,
     fine_lowres_apply: Optional[Callable] = None,
-) -> Callable:
-    """Cascade-aware multi-chip inference: the FLAGSHIP predict program's
-    decomposition over a device mesh (VERDICT round-3 #3).
+):
+    """Shared guts of the cascade mesh decompositions: the statics (tile
+    grid, flip striping, blend weights, low-res block form) plus a
+    ``member_sweep`` that runs INSIDE shard_map — one member's coarse
+    localization (replicated) followed by its ROI (tile x flip) sweep with
+    the mesh-merging psum. Used by ``distributed_cascade_sweep`` (one
+    member -> ROI labels) and ``distributed_cascade_ensemble`` (K members
+    -> mean-probability canvas labels); keeping one implementation pins
+    their blending/TTA semantics together.
 
-    The single-stage ``distributed_tile_sweep`` bypasses the coarse->fine
-    cascade; this one reproduces the flagship path's masks:
-
-    * the coarse localization stage is REPLICATED — every device runs the
-      (cheap, ~4% of flagship FLOPs) coarse forward + bbox reduction on its
-      replicated canvas copy, so the ROI handoff needs no collective at all;
-    * the fine ROI's (tile x flip) work items are striped across the mesh
-      (same striping as ``distributed_tile_sweep``), each device blends its
-      items into an ROI-sized low-res block canvas, and ONE psum of the
-      weighted canvases merges the mesh — O(roi/stem^3 * stem^3 * K) =
-      O(roi * K) ICI bytes per device;
-    * the TTA reduce runs in the low-res block form on the pre-depth-to-
-      space head output (models/cascade.py ``_lowres_mean_probs`` algebra:
-      groupwise softmax -> store-dtype cast -> block unflip -> f32 weighted
-      accumulation), the same value-for-value computation as the
-      single-device split/staged paths.
-
-    Localization semantics are shared BY CODE with the single-device
-    programs (models.cascade.coarse_locate). Mask parity vs the
-    single-device cascade Predictor is pinned on the 8-virtual-device CPU
-    mesh (tests/test_multichip_cli.py::test_multichip_cascade_*).
-
-    Returns fn(image (X, Y, Z, C) RAW canvas, replicated) ->
-    (labels_roi uint8 (roi), start int32 (3,)) — the same contract as the
-    single-device predict program: z-score happens in-graph; the host
-    pastes the ROI and un-crops.
+    ``member_sweep(image, origins_l, flips_l, valid_l, weight, pf, pc) ->
+    (canvas_p, wsum, start)`` — weighted probability sum + weight sum in
+    the accumulator form (low-res blocks when ``use_lowres``), ALREADY
+    psum-merged across the mesh.
     """
-    from ..data.preprocess import zscore
     from ..infer.tiling import blend_weight, tile_origins
     from ..models.cascade import coarse_locate, lowres_blend_weight
 
@@ -325,7 +306,6 @@ def distributed_cascade_sweep(
     origins_np = tile_origins(roi, tile, cfg.overlap)
     weight_np = blend_weight(tile, cfg.blend, cfg.gaussian_sigma_frac)
     n_flips = 8 if cfg.tta_flips else 1
-    n_dev = env.n_data
     store_dt = (
         jnp.bfloat16 if cfg.tta_precision == "bfloat16" else jnp.float32
     )
@@ -350,9 +330,7 @@ def distributed_cascade_sweep(
         tile_acc = tile
         roi_acc = roi
 
-    def local(vol_raw, origins_l, flips_l, valid_l, weight, pf, pc):
-        origins_l, flips_l, valid_l = origins_l[0], flips_l[0], valid_l[0]
-        image = zscore(vol_raw.astype(jnp.float32))
+    def member_sweep(image, origins_l, flips_l, valid_l, weight, pf, pc):
         region, start = coarse_locate(coarse_apply, pc, image, cfg, canvas, roi)
 
         canvas_p = jnp.zeros(roi_acc + (num_classes,), jnp.float32)
@@ -401,6 +379,71 @@ def distributed_cascade_sweep(
         )
         canvas_p = jax.lax.psum(canvas_p, DATA_AXIS)  # ROI-sized collective
         wsum = jax.lax.psum(wsum, DATA_AXIS)
+        return canvas_p, wsum, start
+
+    statics = {
+        "o_sh": o_sh, "f_sh": f_sh, "v_sh": v_sh, "w_np": w_np,
+        "use_lowres": use_lowres, "roi": roi, "r": r,
+    }
+    return member_sweep, statics
+
+
+def distributed_cascade_sweep(
+    fine_apply: Callable,
+    coarse_apply: Callable,
+    env: MeshEnv,
+    cfg,                                   # InferenceConfig
+    canvas: Tuple[int, int, int],
+    num_classes: int,
+    params_fine,
+    params_coarse,
+    stem: int = 1,
+    fine_lowres_apply: Optional[Callable] = None,
+) -> Callable:
+    """Cascade-aware multi-chip inference: the FLAGSHIP predict program's
+    decomposition over a device mesh (VERDICT round-3 #3).
+
+    The single-stage ``distributed_tile_sweep`` bypasses the coarse->fine
+    cascade; this one reproduces the flagship path's masks:
+
+    * the coarse localization stage is REPLICATED — every device runs the
+      (cheap, ~4% of flagship FLOPs) coarse forward + bbox reduction on its
+      replicated canvas copy, so the ROI handoff needs no collective at all;
+    * the fine ROI's (tile x flip) work items are striped across the mesh
+      (same striping as ``distributed_tile_sweep``), each device blends its
+      items into an ROI-sized low-res block canvas, and ONE psum of the
+      weighted canvases merges the mesh — O(roi/stem^3 * stem^3 * K) =
+      O(roi * K) ICI bytes per device;
+    * the TTA reduce runs in the low-res block form on the pre-depth-to-
+      space head output (models/cascade.py ``_lowres_mean_probs`` algebra:
+      groupwise softmax -> store-dtype cast -> block unflip -> f32 weighted
+      accumulation), the same value-for-value computation as the
+      single-device split/staged paths.
+
+    Localization semantics are shared BY CODE with the single-device
+    programs (models.cascade.coarse_locate). Mask parity vs the
+    single-device cascade Predictor is pinned on the 8-virtual-device CPU
+    mesh (tests/test_multichip_cli.py::test_multichip_cascade_*).
+
+    Returns fn(image (X, Y, Z, C) RAW canvas, replicated) ->
+    (labels_roi uint8 (roi), start int32 (3,)) — the same contract as the
+    single-device predict program: z-score happens in-graph; the host
+    pastes the ROI and un-crops.
+    """
+    from ..data.preprocess import zscore
+
+    member_sweep, st = _cascade_member_sweep(
+        fine_apply, coarse_apply, cfg, canvas, num_classes, env.n_data,
+        stem=stem, fine_lowres_apply=fine_lowres_apply,
+    )
+    use_lowres, r = st["use_lowres"], st["r"]
+
+    def local(vol_raw, origins_l, flips_l, valid_l, weight, pf, pc):
+        origins_l, flips_l, valid_l = origins_l[0], flips_l[0], valid_l[0]
+        image = zscore(vol_raw.astype(jnp.float32))
+        canvas_p, wsum, start = member_sweep(
+            image, origins_l, flips_l, valid_l, weight, pf, pc
+        )
         probs = canvas_p / jnp.maximum(wsum, 1e-8)
         if use_lowres:
             blk = jnp.argmax(probs, -1).astype(jnp.uint8)  # (d,h,w,r,r,r)
@@ -419,10 +462,10 @@ def distributed_cascade_sweep(
         out_specs=(P(), P()),
         check_vma=False,  # psum / replicated-compute outputs by construction
     )
-    o_dev = jnp.asarray(o_sh)
-    f_dev = jnp.asarray(f_sh)
-    v_dev = jnp.asarray(v_sh)
-    w_dev = jnp.asarray(w_np)
+    o_dev = jnp.asarray(st["o_sh"])
+    f_dev = jnp.asarray(st["f_sh"])
+    v_dev = jnp.asarray(st["v_sh"])
+    w_dev = jnp.asarray(st["w_np"])
     jit_sharded = jax.jit(sharded)
 
     def run(vol, pf=None, pc=None):
@@ -433,6 +476,103 @@ def distributed_cascade_sweep(
             vol, o_dev, f_dev, v_dev, w_dev,
             params_fine if pf is None else pf,
             params_coarse if pc is None else pc,
+        )
+
+    return run
+
+
+def distributed_cascade_ensemble(
+    fine_apply: Callable,
+    coarse_apply: Callable,
+    env: MeshEnv,
+    cfg,                                   # InferenceConfig
+    canvas: Tuple[int, int, int],
+    num_classes: int,
+    members_fine,
+    members_coarse,
+    stem: int = 1,
+    fine_lowres_apply: Optional[Callable] = None,
+) -> Callable:
+    """Ensemble x mesh composition (VERDICT round-4 #3): K checkpoint
+    members, each running the SAME cascade decomposition as
+    ``distributed_cascade_sweep`` (its per-member sweep is shared BY CODE
+    via ``_cascade_member_sweep``), composed in ONE mesh program.
+
+    Per member: its OWN coarse localization (members may localize
+    different ROIs — the single-device ``EnsemblePredictor`` semantics),
+    its fine ROI's (tile x flip) items striped across the mesh, one
+    ROI-sized psum. The member's normalized ROI probabilities are then
+    accumulated (replicated compute) into a canvas-sized f32 sum at that
+    member's start, and the final ``argmax`` over the raw sum produces the
+    labels — count-invariant exactly as ``EnsemblePredictor._argmax``
+    (the coverage count is a per-voxel scalar across classes; unwritten
+    voxels are all-zero -> argmax 0 = background). Member order is fixed,
+    so the f32 sum is deterministic.
+
+    Cost: K sequential member sweeps, each mesh-parallel — the work per
+    member is striped over the mesh, so the composition runs ~n_dev x
+    faster than the single-device ensemble's sequential member loop while
+    producing its masks.
+
+    Returns fn(image (X, Y, Z, C) RAW canvas, replicated; optional member
+    list overrides for hot-reload) -> labels uint8 (canvas) — FULL-canvas
+    labels (no start paste needed): the host un-crops and postprocesses.
+    """
+    from ..data.preprocess import zscore
+
+    if not members_fine or len(members_fine) != len(members_coarse):
+        raise ValueError(
+            "distributed_cascade_ensemble needs matching non-empty "
+            "members_fine/members_coarse lists"
+        )
+    member_sweep, st = _cascade_member_sweep(
+        fine_apply, coarse_apply, cfg, canvas, num_classes, env.n_data,
+        stem=stem, fine_lowres_apply=fine_lowres_apply,
+    )
+    use_lowres, r, roi = st["use_lowres"], st["r"], st["roi"]
+
+    def local(vol_raw, origins_l, flips_l, valid_l, weight, mfs, mcs):
+        origins_l, flips_l, valid_l = origins_l[0], flips_l[0], valid_l[0]
+        image = zscore(vol_raw.astype(jnp.float32))
+        acc = jnp.zeros(canvas + (num_classes,), jnp.float32)
+        for pf, pc in zip(mfs, mcs):
+            canvas_p, wsum, start = member_sweep(
+                image, origins_l, flips_l, valid_l, weight, pf, pc
+            )
+            probs = canvas_p / jnp.maximum(wsum, 1e-8)
+            if use_lowres:
+                # block form -> full-res ROI probabilities (a voxel
+                # permutation; the values argmaxed are unchanged)
+                d, h, w_ = probs.shape[:3]
+                probs = probs.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+                    d * r, h * r, w_ * r, num_classes
+                )
+            o = (start[0], start[1], start[2], jnp.int32(0))
+            cur = jax.lax.dynamic_slice(acc, o, roi + (num_classes,))
+            acc = jax.lax.dynamic_update_slice(acc, cur + probs, o)
+        return jnp.argmax(acc, -1).astype(jnp.uint8)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=env.mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # psum / replicated-compute outputs by construction
+    )
+    o_dev = jnp.asarray(st["o_sh"])
+    f_dev = jnp.asarray(st["f_sh"])
+    v_dev = jnp.asarray(st["v_sh"])
+    w_dev = jnp.asarray(st["w_np"])
+    jit_sharded = jax.jit(sharded)
+
+    def run(vol, mfs=None, mcs=None):
+        # member lists override the factory members for serving hot-reload
+        # (same treedefs/shapes + same member COUNT reuse the executable;
+        # a changed count retraces once — it is a different program)
+        return jit_sharded(
+            vol, o_dev, f_dev, v_dev, w_dev,
+            list(members_fine) if mfs is None else list(mfs),
+            list(members_coarse) if mcs is None else list(mcs),
         )
 
     return run

@@ -732,6 +732,14 @@ def test_warmup_ensemble_and_multichip_smoke(tmp_path):
     assert mp.warmup() > 0
     assert mp.predict_arrays(image).shape == (40, 36, 28)
 
+    # the composed serving mode (--multichip cascade --ensemble) warms too
+    mpe = MultichipPredictor(
+        exp, pf, mode="cascade", params_coarse=pc,
+        members=[(pf, pc), (pf2, pc)],
+    )
+    assert mpe.warmup() > 0
+    assert mpe.predict_arrays(image).shape == (40, 36, 28)
+
     # pair-mode (--batch-volumes 2) warms the split-stage programs branch
     import dataclasses
 
