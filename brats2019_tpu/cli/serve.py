@@ -25,10 +25,12 @@ import argparse
 import dataclasses
 import json
 import os
+import queue
 import signal
 import sys
 import threading
 import time
+from typing import Optional
 
 from ..configs.presets import PRESETS
 from ..data.case import discover_cases, modality_paths
@@ -448,7 +450,57 @@ class Server:
         # MONOTONIC completion counters for /metrics (Prometheus counters
         # must never decrease; the latest-record dict can, when a served
         # case is later resubmitted and fails)
-        self.counters = {"served": 0, "quarantined": 0}
+        self.counters = {"served": 0, "quarantined": 0, "prefilled": 0}
+        # payload-cache prefill (VERDICT round-4 #5): arrivals queued
+        # behind the current batch get decoded+encoded into the on-disk
+        # payload cache by a background thread while the device serves,
+        # so their serve-time prep is a warm hit. Active only when the
+        # predictor exposes the prefill (single-device/ensemble paths
+        # with --prep-cache; multichip prep doesn't use the payload
+        # cache).
+        self._prefill_q: "queue.Queue[str]" = queue.Queue()
+        self._prefill_queued: set = set()
+        self._prefill_thread: Optional[threading.Thread] = None
+        self._can_prefill = bool(
+            getattr(self.exp.infer, "prep_cache_dir", None)
+            and hasattr(self.predictor, "prefill_payload_cache")
+        )
+
+    def _queue_prefill(self, case_dirs) -> None:
+        """Enqueue not-yet-seen cases for background payload prefill and
+        lazily start the worker."""
+        if not self._can_prefill or not case_dirs:
+            return
+        if self._prefill_thread is None:
+            self._prefill_thread = threading.Thread(
+                target=self._prefill_worker, daemon=True
+            )
+            self._prefill_thread.start()
+        for d in case_dirs:
+            if d not in self._prefill_queued:
+                self._prefill_queued.add(d)
+                self._prefill_q.put(d)
+
+    def _prefill_worker(self) -> None:
+        """Drain the prefill queue on the poll-loop's idle core time: pure
+        host work (gzip decode + bbox + crop/cast + atomic cache write),
+        never the device. Failures are logged and left for the serving
+        path's own retry/quarantine machinery — prefill is an
+        optimization, not a gate."""
+        while not self._stop:
+            try:
+                d = self._prefill_q.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            try:
+                if self.predictor.prefill_payload_cache(d):
+                    self.counters["prefilled"] += 1
+                    print(f"serve: prefilled payload cache for "
+                          f"{os.path.basename(d)}", flush=True)
+            except Exception as e:  # noqa: BLE001 — serve path will retry
+                print(f"serve: payload prefill failed for {d}: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr,
+                      flush=True)
 
     def _load_done(self) -> set:
         """Replay the completion log so a restarted daemon skips served and
@@ -547,6 +599,11 @@ class Server:
         the batch case-by-case; failures are quarantined (logged with an
         ``error`` field, marked done) so one corrupt upload can neither
         kill the daemon nor crash-loop it on restart."""
+        # cases beyond the predictor's pipeline window wait their turn
+        # inside predict_dirs too — prefill them (no-op when already
+        # warm or prefill is off); covers the --once burst path as well
+        depth = max(1, getattr(self.exp.infer, "serving_depth", 1) or 1)
+        self._queue_prefill(case_dirs[depth:])
         t0 = time.time()
         try:
             outs = self.predictor.predict_dirs(
@@ -737,6 +794,11 @@ class Server:
             ready = self.scan(watch_root, sizes)
             idle_scans = 0 if ready else idle_scans + 1
             if ready:
+                # cases beyond the first chunk wait while the device
+                # serves it — prefill their payload cache in the
+                # background so their prep is a warm hit when their
+                # turn comes (VERDICT round-4 #5)
+                self._queue_prefill(ready[8:])
                 # bounded chunks so the heartbeat stays fresh under a
                 # burst — a supervisor must not kill a busy-but-healthy
                 # daemon mid-batch (staleness bound ~= 8 x per-case time)

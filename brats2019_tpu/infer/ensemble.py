@@ -358,6 +358,12 @@ class EnsemblePredictor:
             drain_one()
         return outs
 
+    def prefill_payload_cache(self, case_dir: str) -> bool:
+        """Serve-loop payload-cache prefill (rationale:
+        Predictor.prefill_payload_cache); members share one prep, so the
+        primary's encoder is THE encoder."""
+        return self._p.prefill_payload_cache(case_dir)
+
     def probs_for_dir(self, case_dir: str):
         """Cache-aware ensemble-mean probability pass for one case dir
         (rationale: Predictor.probs_for_dir). Returns

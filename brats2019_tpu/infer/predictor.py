@@ -585,6 +585,38 @@ class Predictor:
         del self._prep_times[:-64]
         return case.name, case.header, canvas_img, bbox.shape, bbox
 
+    def prefill_payload_cache(self, case_dir: str) -> bool:
+        """Decode + encode one case into the on-disk payload cache WITHOUT
+        touching the device — the serve daemon's watch loop calls this
+        from a background thread for arrivals queued behind the current
+        batch (VERDICT round-4 #5), so by the time their turn comes
+        ``_prep_dir_to`` is a warm hit (~25 ms host) instead of a cold
+        gzip-decode+bbox (~640-1200 ms on a 1-core host). Exactly the
+        miss path of ``_prep_dir_to`` minus the transfer, so the stored
+        payload is bitwise what serving would have stored. Returns True
+        when it wrote a new entry (False: cache off, or already warm)."""
+        from .payload_cache import payload_cache_path, store_payload
+
+        cache_dir = self.exp.infer.prep_cache_dir
+        if not cache_dir:
+            return False
+        path = payload_cache_path(
+            cache_dir, case_dir, self.canvas,
+            self.exp.infer.transfer_bucket,
+            self.exp.infer.transfer_dtype,
+        )
+        # existence check only: the filename embeds the input-signature
+        # hash, so a listed entry IS warm (a rare corrupt entry self-heals
+        # as a serve-time miss)
+        if os.path.exists(path):
+            return False
+        from ..data.case import load_case as _load_case
+
+        case = _load_case(case_dir, load_seg=False)
+        small, dst, bbox = self._encode_host(case.image, case.meta)
+        store_payload(path, small, dst, bbox)
+        return True
+
     def predict_probs_arrays(
         self, image: np.ndarray, meta: Optional[dict] = None
     ) -> Tuple[np.ndarray, PredictionStats]:

@@ -252,3 +252,83 @@ def test_memo_disabled(monkeypatch):
     pred.predict_arrays(img)
     assert calls["n"] == 2
     assert len(pred._payload_memo) == 0
+
+
+def test_prefill_writes_serving_identical_payload(case_dir, tmp_path):
+    """Predictor.prefill_payload_cache (serve watch-loop prefill, VERDICT
+    r4 #5): the prefilled entry is bitwise what the serving miss path
+    would have stored — a subsequent predict is a warm hit (no rewrite)
+    with identical masks — and re-prefill is a no-op."""
+    params = _params()
+    cache = str(tmp_path / "cache")
+    pred = Predictor(_exp(prep_cache_dir=cache), params)
+    assert pred.prefill_payload_cache(case_dir) is True
+    entries = [f for f in os.listdir(cache) if f.endswith(".npz")]
+    assert len(entries) == 1
+    path = os.path.join(cache, entries[0])
+    mtime = os.path.getmtime(path)
+    # warm: second prefill does nothing
+    assert pred.prefill_payload_cache(case_dir) is False
+    assert os.path.getmtime(path) == mtime
+    # serving rides the prefilled entry (no rewrite) and masks match the
+    # uncached reference
+    out_a = str(tmp_path / "a.nii.gz")
+    out_b = str(tmp_path / "b.nii.gz")
+    Predictor(_exp(), params).predict_dir(case_dir, out_a)
+    pred.predict_dir(case_dir, out_b)
+    assert os.path.getmtime(path) == mtime
+    np.testing.assert_array_equal(_read_mask(out_a), _read_mask(out_b))
+
+
+def test_prefill_disabled_without_cache_dir(case_dir):
+    pred = Predictor(_exp(), _params())
+    assert pred.prefill_payload_cache(case_dir) is False
+
+
+def test_serve_loop_prefills_queued_cases(tmp_path, monkeypatch):
+    """The serve daemon prefills arrivals queued behind the current
+    batch: with a burst larger than the pipeline window, the later
+    cases' payload entries appear via the background worker and every
+    case is served with correct labels."""
+    import time as _time
+
+    from brats2019_tpu.cli.serve import Server
+    from brats2019_tpu.configs.presets import PRESETS
+
+    cache = str(tmp_path / "cache")
+    exp = dataclasses.replace(
+        _exp(prep_cache_dir=cache), workdir=str(tmp_path / "run")
+    )
+    from brats2019_tpu.train.checkpoint import export_params
+
+    os.makedirs(os.path.join(exp.workdir, "fine"), exist_ok=True)
+    export_params(os.path.join(exp.workdir, "fine", "params.npz"), _params())
+    monkeypatch.setitem(PRESETS, "prefill_unit", exp)
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for i in range(3):
+        write_case(str(watch / f"BraTS19_SYN_{i:03d}_1"), seed=10 + i,
+                   shape=(32, 32, 24), with_seg=False)
+    out_dir = str(tmp_path / "served")
+    server = Server(exp, output_dir=out_dir, log_dir=str(watch))
+    assert server._can_prefill
+    # deterministic prefill check: queue the tail cases like run() does,
+    # then wait for the worker to warm them
+    tail = [str(watch / "BraTS19_SYN_001_1"), str(watch / "BraTS19_SYN_002_1")]
+    server._queue_prefill(tail)
+    deadline = _time.time() + 60
+    while _time.time() < deadline and server.counters["prefilled"] < 2:
+        _time.sleep(0.05)
+    assert server.counters["prefilled"] == 2
+    entries = [f for f in os.listdir(cache) if f.endswith(".npz")]
+    assert len(entries) == 2
+    # the burst serves end-to-end; prefilled cases are warm hits
+    mtimes = {f: os.path.getmtime(os.path.join(cache, f)) for f in entries}
+    server.run(str(watch), poll=0.05, once=True)
+    for i in range(3):
+        assert os.path.exists(
+            os.path.join(out_dir, f"BraTS19_SYN_{i:03d}_1_pred.nii.gz")
+        )
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(cache, f)) == m  # no rewrite
