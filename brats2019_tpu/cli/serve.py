@@ -560,21 +560,43 @@ class Server:
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
             return False
 
-    def warmup(self) -> float:
+    def warmup(self, stage: str = "all") -> float:
         """Pre-compile + pre-run the serving device programs on a zeros
         canvas (--warmup; rationale: Predictor.warmup). Warms the probs
-        program too when this daemon emits QA artifacts. Returns wall
-        seconds; sets ``self.warm`` for /healthz."""
-        self.warm = False
+        program too when this daemon emits QA artifacts.
+
+        Staged startup (VERDICT round-4 #6, the recycle-tax lever): the
+        CLI warms ``stage="primary"`` — just the program the first queued
+        case dispatches — BEFORE entering the watch loop, then the loop
+        finishes ``stage="rest"`` (paired-stage, probs arms) after the
+        first pending batch is served (or immediately when idle). A
+        post-recycle daemon with queued work answers it without waiting
+        for program arms that case never runs. Returns wall seconds;
+        sets ``self.warm`` for /healthz once the PRIMARY program is warm
+        (the daemon can serve from that point)."""
+        if stage in ("all", "primary"):
+            self.warm = False
         t0 = time.time()
         if self.multichip:
-            self.predictor.warmup()  # multichip rejects the probs flags
+            self.predictor.warmup(stage=stage)
         else:
             self.predictor.warmup(
-                probs=bool(self.save_probs or self.save_uncertainty)
+                probs=bool(self.save_probs or self.save_uncertainty),
+                stage=stage,
             )
-        self.warm = True
+        if stage in ("all", "primary"):
+            self.warm = True
         return time.time() - t0
+
+    def _finish_warmup_rest(self) -> None:
+        """Run the deferred non-primary warmup arms once (watch loop)."""
+        if not getattr(self, "_warmup_rest_pending", False):
+            return
+        self._warmup_rest_pending = False
+        t = self.warmup(stage="rest")
+        if t > 0.05:
+            print(f"serve: deferred warmup (paired/probs arms) done in "
+                  f"{t:.1f}s", flush=True)
 
     @property
     def stopping(self) -> bool:
@@ -817,7 +839,11 @@ class Server:
                         break
                 if recycle:
                     return self.EXIT_RECYCLE
+                # queued work answered first; now finish the deferred
+                # warmup arms while the queue is empty
+                self._finish_warmup_rest()
             else:
+                self._finish_warmup_rest()
                 # idle recycle only after TWO empty scans: the readiness
                 # protocol needs a second sighting before a just-dropped
                 # case becomes ready, and pending work must be served
@@ -952,11 +978,17 @@ def main(argv=None) -> int:
     try:
         if args.warmup:
             # after start_http so /healthz answers (warm:false) during the
-            # compile; before the watch loop so the first case is warm
+            # compile; before the watch loop so the first case is warm.
+            # Staged: only the primary (single-volume label) program blocks
+            # the loop — a queued case is answered as soon as the program
+            # IT dispatches is warm; the paired/probs arms compile after
+            # the first batch (Server._finish_warmup_rest)
             print("serve: warming up (compiling serving programs)...",
                   flush=True)
-            t = server.warmup()
-            print(f"serve: warmup done in {t:.1f}s", flush=True)
+            t = server.warmup(stage="primary")
+            print(f"serve: warmup (primary program) done in {t:.1f}s",
+                  flush=True)
+            server._warmup_rest_pending = True
         return server.run(args.watch_root, args.poll, args.once)
     finally:
         if httpd is not None:

@@ -223,7 +223,7 @@ def make_hard_case_arrays(
                 # enhancing rim around the core, LOW t1ce contrast
                 # (+0.30 modulated 0.5-1.5x, vs v1's flat +0.6 — hard but
                 # learnable; calibrated so a small net predicts SOME ET)
-                rim = (rho > 0.55) & (rho <= 0.85) & brain
+                rim = (rho > 0.50) & (rho <= 0.90) & brain
                 seg[rim] = 3
                 _boost(1, rim, 0.30)
 

@@ -115,13 +115,18 @@ class EnsemblePredictor:
     def num_members(self) -> int:
         return len(self._members)
 
-    def warmup(self, probs: bool = False) -> float:
+    def warmup(self, probs: bool = False, stage: str = "all") -> float:
         """Pre-compile + pre-execute the ensemble serving programs on a
         zeros canvas (serve --warmup; rationale: Predictor.warmup). Warms
         the shared member probs program through the same auto dispatch
         serving uses (member-parallel when several devices exist), the
-        donated accumulate, and the argmax/mean reducers. Returns wall
-        seconds."""
+        donated accumulate, and the argmax/mean reducers.
+
+        ``stage`` mirrors Predictor.warmup: ``"primary"`` = the label
+        path (member accumulate + argmax — what the first queued case
+        needs), ``"rest"`` = the probs mean reducer (QA artifacts only;
+        the member program itself is shared and already warm after
+        primary). Returns wall seconds."""
         from ..data.constants import NUM_MODALITIES
 
         t0 = time.time()
@@ -129,9 +134,12 @@ class EnsemblePredictor:
             jnp.zeros(self._p.canvas + (NUM_MODALITIES,), jnp.bfloat16),
             self._p._default_dev,
         )
-        acc, cnt = self._accum_probs_auto(x)
-        outs = [self._argmax(acc)]
-        if probs:
+        outs = []
+        if stage in ("all", "primary"):
+            acc, _cnt = self._accum_probs_auto(x)
+            outs.append(self._argmax(acc))
+        if stage in ("all", "rest") and probs:
+            acc, cnt = self._accum_probs_auto(x)
             outs.append(self._mean(acc, cnt))
         # fetch, not just block — warm the d2h path serving always uses
         # (rationale: Predictor.warmup)

@@ -221,14 +221,19 @@ class MultichipPredictor:
         with EnsemblePredictor for the CLIs' log lines."""
         return len(self._members) if self._members is not None else 1
 
-    def warmup(self) -> float:
+    def warmup(self, stage: str = "all") -> float:
         """Pre-compile + pre-execute the mesh program on a zeros canvas
         (serve --multichip --warmup; rationale: Predictor.warmup). An
         all-zero volume exercises the identical static-shape program —
         content only steers the coarse ROI placement, never the compiled
-        graph. Returns wall seconds."""
+        graph. ``stage``: multichip serving is ONE mesh program, so
+        ``"primary"`` == ``"all"`` and ``"rest"`` is a no-op (API parity
+        with Predictor.warmup for the staged serve startup). Returns
+        wall seconds."""
         from ..data.constants import NUM_MODALITIES
 
+        if stage == "rest":
+            return 0.0
         t0 = time.time()
         x = jnp.zeros(self.canvas + (NUM_MODALITIES,), jnp.bfloat16)
         if self._members is not None:

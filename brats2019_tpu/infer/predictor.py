@@ -212,7 +212,7 @@ class Predictor:
 
         self._embed = _embed
 
-    def warmup(self, probs: bool = False) -> float:
+    def warmup(self, probs: bool = False, stage: str = "all") -> float:
         """Pre-compile AND pre-execute the serving device programs on a
         zeros canvas, so the first real case pays no cold compile (serve
         --warmup). On the axon tunnel a flagship cold compile ranges from
@@ -225,8 +225,17 @@ class Predictor:
         programs when ``batch_volumes >= 2``, and the probs program when
         the daemon emits QA artifacts. The per-bucket ``_embed`` variants
         still compile on first arrival — they are trivial
-        dynamic_update_slice programs (seconds, not minutes). Returns
-        wall seconds; blocks until the device finishes."""
+        dynamic_update_slice programs (seconds, not minutes).
+
+        ``stage`` splits the work so a post-recycle daemon can serve its
+        first queued case as early as possible (VERDICT round-4 #6):
+        ``"primary"`` warms only the single-volume label program — the one
+        program the first queued case needs — ``"rest"`` warms the
+        remaining arms (paired-stage, probs), ``"all"`` both. Returns
+        wall seconds; blocks until the device finishes (and the warmup
+        outputs are FETCHED — on the axon tunnel the d2h path can stall
+        independently of program readiness, so the first real case's
+        fetch must ride an established channel)."""
         from ..data.constants import NUM_MODALITIES
 
         t0 = time.time()
@@ -235,20 +244,19 @@ class Predictor:
             self._default_dev,
         )
         pf, pc = self.params_fine, self.params_coarse
-        outs = [self._fn(pf, pc, x)]
-        if self._pair_dispatcher() is not None:
-            # serving dispatches through the split-stage programs instead
-            # of the monolithic one when pairing is on — warm those
-            j_roi, j_finish = self._fn.stages
-            tiles, start = j_roi(pc, x)
-            outs.append(self._fn.fine_pair(pf, tiles, tiles, start, start))
-            outs.append(j_finish(pf, tiles, start))  # odd-tail program
-        if probs:
-            outs.append(self._fn.probs_fn(pf, pc, x))
-        # fetch (not just block): serving always device_gets the results,
-        # and on the axon tunnel the d2h path can stall independently of
-        # program readiness — pull the warmup outputs through it so the
-        # first real case's fetch rides an established channel
+        outs = []
+        if stage in ("all", "primary"):
+            outs.append(self._fn(pf, pc, x))
+        if stage in ("all", "rest"):
+            if self._pair_dispatcher() is not None:
+                # serving dispatches through the split-stage programs
+                # instead of the monolithic one when pairing is on
+                j_roi, j_finish = self._fn.stages
+                tiles, start = j_roi(pc, x)
+                outs.append(self._fn.fine_pair(pf, tiles, tiles, start, start))
+                outs.append(j_finish(pf, tiles, start))  # odd-tail program
+            if probs:
+                outs.append(self._fn.probs_fn(pf, pc, x))
         jax.device_get(outs)
         return time.time() - t0
 

@@ -753,6 +753,36 @@ def test_warmup_ensemble_and_multichip_smoke(tmp_path):
     assert p2.warmup(probs=True) > 0
 
 
+def test_staged_warmup_primary_then_rest(tmp_path):
+    """The recycle-tax lever (VERDICT r4 #6): warmup(stage='primary')
+    warms only the single-volume label program and flips /healthz warm
+    — a queued case is servable from that point — and stage='rest'
+    finishes the probs arm without touching the warm flag. Masks after
+    the staged warmup match an unstaged predictor's."""
+    import jax
+
+    from brats2019_tpu.data.synthetic import make_case_arrays
+    from brats2019_tpu.infer.predictor import Predictor
+
+    exp, pf, pc = _multichip_cascade_fixtures()
+    p = Predictor(exp, pf, pc)
+    t1 = p.warmup(probs=True, stage="primary")
+    assert t1 > 0
+    t2 = p.warmup(probs=True, stage="rest")
+    assert t2 >= 0
+    image, _ = make_case_arrays(seed=17, shape=(40, 36, 28))
+    got, _ = p.predict_arrays(image)
+    ref, _ = Predictor(exp, pf, pc).predict_arrays(image)
+    np.testing.assert_array_equal(got, ref)
+
+    # MultichipPredictor API parity: 'rest' is a no-op for the one-program
+    # mesh path
+    from brats2019_tpu.infer.multichip import MultichipPredictor
+
+    mp = MultichipPredictor(exp, pf, mode="cascade", params_coarse=pc)
+    assert mp.warmup(stage="rest") == 0.0
+
+
 def test_serve_warmup_cli_flag_parses():
     """--warmup is plumbed through the parser (the heavy end-to-end drive
     lives in the test above via Server.warmup directly)."""

@@ -183,28 +183,32 @@ def main(steps=600, n_train=10, n_val=6, members=4, save_fixtures=None,
             Predictor(exp0, swa_params), val_cases
         )
 
-        # arm 7: postprocessing sweep on member0+TTA raw labels (postproc
-        # operates on labels, so one prediction pass feeds the whole grid)
-        raw = []
-        pred0 = Predictor(exp0, member_params[0])
-        for case in val_cases:
-            labels, _ = pred0.predict_arrays(case.image)
-            raw.append((labels, case.seg))
-        sweep = {}
-        for mcv in (0, 16, 64):
-            for etv in (0, 50, 200):
-                rows = [
-                    region_dice_np(
-                        postprocess_labels(
-                            lab.copy(), min_component_voxels=mcv,
-                            et_min_voxels=etv,
-                        ),
-                        seg,
-                    )
-                    for lab, seg in raw
-                ]
-                sweep[f"mcv{mcv}_etv{etv}"] = mean_dice(rows)
-        results["postproc_sweep"] = sweep
+        # arm 7: postprocessing sweep on member0 raw labels, BOTH with and
+        # without TTA (postproc operates on labels, so one prediction pass
+        # per arm feeds the whole grid; the no-TTA arm is noisier, which
+        # is where the small-component and empty-ET tricks earn their keep)
+        results["postproc_sweep"] = {}
+        for arm, arm_exp in (("tta", exp0), ("no_tta", exp0_notta)):
+            raw = []
+            pred0 = Predictor(arm_exp, member_params[0])
+            for case in val_cases:
+                labels, _ = pred0.predict_arrays(case.image)
+                raw.append((labels, case.seg))
+            sweep = {}
+            for mcv in (0, 16, 64):
+                for etv in (0, 50, 200):
+                    rows = [
+                        region_dice_np(
+                            postprocess_labels(
+                                lab.copy(), min_component_voxels=mcv,
+                                et_min_voxels=etv,
+                            ),
+                            seg,
+                        )
+                        for lab, seg in raw
+                    ]
+                    sweep[f"mcv{mcv}_etv{etv}"] = mean_dice(rows)
+            results["postproc_sweep"][arm] = sweep
 
         if save_fixtures:
             from brats2019_tpu.train.checkpoint import export_params
@@ -235,14 +239,15 @@ def main(steps=600, n_train=10, n_val=6, members=4, save_fixtures=None,
             )
             log(f"| {arm} | {r['WT']:.4f} | {r['TC']:.4f} | "
                 f"{r['ET']:.4f} | {delta} |")
-        log("")
-        log("postproc sweep (member0 + TTA):")
-        log("| min_component_voxels | et_min_voxels | WT | TC | ET |")
-        log("|---|---|---|---|---|")
-        for key, r in sweep.items():
-            mcv, etv = key.replace("mcv", "").split("_etv")
-            log(f"| {mcv} | {etv} | {r['WT']:.4f} | {r['TC']:.4f} | "
-                f"{r['ET']:.4f} |")
+        for arm, sweep in results["postproc_sweep"].items():
+            log("")
+            log(f"postproc sweep (member0, {arm}):")
+            log("| min_component_voxels | et_min_voxels | WT | TC | ET |")
+            log("|---|---|---|---|---|")
+            for key, r in sweep.items():
+                mcv, etv = key.replace("mcv", "").split("_etv")
+                log(f"| {mcv} | {etv} | {r['WT']:.4f} | {r['TC']:.4f} | "
+                    f"{r['ET']:.4f} |")
         if out_json:
             with open(out_json, "w") as f:
                 json.dump(results, f, indent=1)
