@@ -150,8 +150,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the default striping). 'cascade' produces the "
                         "flagship predictor's masks; 'spatial'/'sweep' "
                         "are the single-stage decompositions (accuracy "
-                        "table: docs/MULTIHOST.md). Incompatible with "
-                        "--ensemble/--save-probs/--save-uncertainty")
+                        "table: docs/MULTIHOST.md). --ensemble composes "
+                        "with cascade mode (one mesh program runs every "
+                        "member's sweep); --save-probs/--save-uncertainty "
+                        "do not compose with --multichip")
     p.add_argument("--batch-volumes", type=int, default=None, choices=(1, 2),
                    help="2 = pair two volumes' fine TTA stages into one "
                         "b16 device program. Measured neutral since the "
@@ -366,6 +368,9 @@ class Server:
     # embedding) get artifact emission OFF without touching __init__
     save_probs = False
     save_uncertainty = False
+    # payload prefill off until __init__ proves the predictor supports it
+    # (also keeps minimally-constructed instances off the self.exp path)
+    _can_prefill = False
     # None = warmup not requested; False = warming; True = warmed
     # (/healthz surfaces this only when not None)
     warm = None
@@ -623,9 +628,10 @@ class Server:
         kill the daemon nor crash-loop it on restart."""
         # cases beyond the predictor's pipeline window wait their turn
         # inside predict_dirs too — prefill them (no-op when already
-        # warm or prefill is off); covers the --once burst path as well
-        depth = max(1, getattr(self.exp.infer, "serving_depth", 1) or 1)
-        self._queue_prefill(case_dirs[depth:])
+        # warm); covers the --once burst path as well
+        if self._can_prefill:
+            depth = max(1, getattr(self.exp.infer, "serving_depth", 1) or 1)
+            self._queue_prefill(case_dirs[depth:])
         t0 = time.time()
         try:
             outs = self.predictor.predict_dirs(
