@@ -115,15 +115,28 @@ def eval_predictor(pred, val_cases):
 
 
 def main(steps=600, n_train=10, n_val=6, members=4, save_fixtures=None,
-         out_json=None):
-    tmp = tempfile.mkdtemp(prefix="exp_accuracy_ablation_")
+         out_json=None, resume_dir=None):
+    # --resume-dir: reuse a previous (interrupted) run's tmp dir — the
+    # written dataset plus the run{m}/fine step checkpoints — and skip
+    # straight to the eval arms. Member params come from each run's
+    # latest retained checkpoint, which IS the final step (steps is a
+    # multiple of checkpoint_every = steps//4). The resumed dir is kept
+    # on exit so a second interruption stays resumable.
+    tmp = resume_dir or tempfile.mkdtemp(prefix="exp_accuracy_ablation_")
     results = {}
     try:
         log(f"devices: {jax.devices()}")
-        dirs = synthetic.write_dataset(
-            _os.path.join(tmp, "data"), n_train + n_val, shape=SHAPE,
-            hard=True,
-        )
+        if resume_dir:
+            data_dir = _os.path.join(tmp, "data")
+            dirs = sorted(
+                _os.path.join(data_dir, d) for d in _os.listdir(data_dir)
+            )
+            assert len(dirs) == n_train + n_val, (len(dirs), n_train, n_val)
+        else:
+            dirs = synthetic.write_dataset(
+                _os.path.join(tmp, "data"), n_train + n_val, shape=SHAPE,
+                hard=True,
+            )
         train_dirs, val_dirs = dirs[:n_train], dirs[n_train:]
         val_cases = [load_case(d, load_seg=True) for d in val_dirs]
         log(f"hard benchmark: {n_train} train / {n_val} val cases; "
@@ -134,9 +147,17 @@ def main(steps=600, n_train=10, n_val=6, members=4, save_fixtures=None,
         exps = []
         for m in range(members):
             exp = make_exp(_os.path.join(tmp, f"run{m}"), steps, seed=100 + m)
-            log(f"training member {m} ({steps} steps, seed {100 + m}) ...")
-            res = train_stage(exp, train_dirs, stage="fine", val_dirs=[])
-            member_params.append(jax.device_get(res.params))
+            if resume_dir:
+                from brats2019_tpu.cli.common import load_stage_params
+
+                log(f"resuming member {m} from {exp.workdir}/fine ...")
+                member_params.append(
+                    jax.device_get(load_stage_params(exp, "fine"))
+                )
+            else:
+                log(f"training member {m} ({steps} steps, seed {100 + m}) ...")
+                res = train_stage(exp, train_dirs, stage="fine", val_dirs=[])
+                member_params.append(jax.device_get(res.params))
             exps.append(exp)
 
         exp0 = exps[0]
@@ -254,7 +275,8 @@ def main(steps=600, n_train=10, n_val=6, members=4, save_fixtures=None,
             log(f"results -> {out_json}")
         return 0
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not resume_dir:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
@@ -269,6 +291,9 @@ if __name__ == "__main__":
                     help="export member0/1 + EMA params (npz) for the "
                          "pinned regression test")
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--resume-dir", default=None, metavar="DIR",
+                    help="reuse an interrupted run's tmp dir (dataset + "
+                         "run{m}/fine checkpoints); skips training")
     a = ap.parse_args()
     raise SystemExit(main(a.steps, a.n_train, a.n_val, a.members,
-                          a.save_fixtures, a.out_json))
+                          a.save_fixtures, a.out_json, a.resume_dir))
