@@ -28,6 +28,14 @@ def resolve_experiment(args) -> ExperimentConfig:
             exp = dataclasses.replace(
                 exp, train=dataclasses.replace(exp.train, **{flag: v})
             )
+    # postproc-threshold overrides (docs/ACCURACY.md: et_min_voxels is
+    # the measured empty-ET lever; 0 disables a filter, so test is-None)
+    for flag in ("min_component_voxels", "et_min_voxels"):
+        v = getattr(args, flag, None)
+        if v is not None:
+            exp = dataclasses.replace(
+                exp, infer=dataclasses.replace(exp.infer, **{flag: v})
+            )
     if getattr(args, "seed", None) is not None:
         exp = dataclasses.replace(
             exp, train=dataclasses.replace(exp.train, seed=args.seed)

@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process only the cases whose stable name-hash "
                         "lands in shard I of N (scale-out batch runs; "
                         "same assignment as serve --shard)")
+    p.add_argument("--min-component-voxels", type=int, default=None,
+                   help="override the preset's C16 small-component filter "
+                        "(0 disables); measured benefit: docs/ACCURACY.md")
+    p.add_argument("--et-min-voxels", type=int, default=None,
+                   help="override the preset's empty-ET relabel threshold "
+                        "(tiny ET -> NCR; 0 disables). The largest "
+                        "measured accuracy lever on the hard benchmark: "
+                        "+0.17-0.33 ET Dice (docs/ACCURACY.md) — sweep it "
+                        "on YOUR validation split with this flag")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--multichip", default=None,
                    choices=["cascade", "spatial", "sweep"],

@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "run into DIR (view with tensorboard)")
     p.add_argument("--postproc", default=None, choices=("host", "device"),
                    help="where C16 connected-components runs")
+    p.add_argument("--min-component-voxels", type=int, default=None,
+                   help="override the preset's C16 small-component filter "
+                        "(0 disables); measured benefit: docs/ACCURACY.md")
+    p.add_argument("--et-min-voxels", type=int, default=None,
+                   help="override the preset's empty-ET relabel threshold "
+                        "(tiny ET -> NCR; 0 disables). The largest "
+                        "measured accuracy lever on the hard benchmark: "
+                        "+0.17-0.33 ET Dice (docs/ACCURACY.md)")
     p.add_argument("--prep-cache", default=None, metavar="DIR",
                    help="on-disk transfer-payload cache: repeat arrivals "
                         "of the same case files skip NIfTI gzip decode + "

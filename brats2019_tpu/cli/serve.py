@@ -126,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "two-phase CC costs ~17 ms on-device vs ~108 ms "
                         "host scipy, and the 1-core serving host is the "
                         "throughput wall (PERF.md round 3)")
+    p.add_argument("--min-component-voxels", type=int, default=None,
+                   help="override the preset's C16 small-component filter "
+                        "(0 disables); measured benefit: docs/ACCURACY.md")
+    p.add_argument("--et-min-voxels", type=int, default=None,
+                   help="override the preset's empty-ET relabel threshold "
+                        "(tiny ET -> NCR; 0 disables). The largest "
+                        "measured accuracy lever on the hard benchmark: "
+                        "+0.17-0.33 ET Dice (docs/ACCURACY.md)")
     p.add_argument("--prep-cache", default=None, metavar="DIR",
                    help="on-disk transfer-payload cache: repeat arrivals "
                         "of the same case files skip NIfTI gzip decode + "
