@@ -634,12 +634,13 @@ class Server:
         the batch case-by-case; failures are quarantined (logged with an
         ``error`` field, marked done) so one corrupt upload can neither
         kill the daemon nor crash-loop it on restart."""
-        # cases beyond the predictor's pipeline window wait their turn
-        # inside predict_dirs too — prefill them (no-op when already
-        # warm); covers the --once burst path as well
-        if self._can_prefill:
-            depth = max(1, getattr(self.exp.infer, "serving_depth", 1) or 1)
-            self._queue_prefill(case_dirs[depth:])
+        # NO in-batch prefill: predict_dirs' own pipelined prep is about
+        # to decode every case in this batch, so a background prefill of
+        # case_dirs[serving_depth:] duplicates that work and races it for
+        # the core — the round-5 burst A/B measured the duplication at
+        # 3.5 -> 15 s per-case prep and a 4x burst wall on the 1-core
+        # serving host (PERF.md round 5). Queued cases BEYOND this batch
+        # are prefilled by the watch loop (run(): ready[8:]).
         t0 = time.time()
         try:
             outs = self.predictor.predict_dirs(

@@ -6,9 +6,10 @@ Setup: one in-process serve daemon at flagship scale (cascade preset,
 240x240x155 cases) on the real chip, a burst of N unique cases
 pre-dropped in the watch root. The loop serves them in chunks of 8;
 cases 8..N-1 are queued behind chunk 1 and are the prefill targets
-(run() enqueues ready[8:]; process_batch additionally enqueues
-case_dirs[serving_depth:] inside each chunk, where the prep pool races
-the prefill thread on the 1-core host — measured per-case either way).
+(run() enqueues ready[8:]. An earlier in-batch prefill of
+case_dirs[serving_depth:] was REMOVED after round 1 of this A/B: it
+duplicated predict_dirs' own pipelined prep and the contention cost
+3.5 -> 15 s per-case prep and a 4x burst wall on the 1-core host).
 
 Arms (same process, same compiled programs, fresh prep-cache/output/watch
 dirs per arm, identical case content under arm-unique names):
